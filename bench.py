@@ -1,0 +1,89 @@
+"""Benchmark: audio-seconds synthesized per second per chip (VITS-base).
+
+Runs the full jitted inference pipeline (text encoder -> SDP reverse ->
+generate_path -> flow reverse -> HiFi-GAN decoder) at the reference's
+VITS-base size (examples/baker/configs/v1.json: hidden 192, filter 768,
+6 layers, upsample 8*8*2*2=256, 22.05 kHz) with static shapes
+(B x max_frames), and reports synthesized-audio seconds per wall second.
+
+Baseline: the reference's only published synthesis-speed figure is streaming
+RTF 0.15 on one CPU core (runtime/cpu_triton_stream/README.md:19-31) =
+6.67 audio-s/s; vs_baseline is measured against that. The north-star target
+is >=500 audio-s/s per chip (BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from wetts_tpu.config import Config
+    from wetts_tpu.models.synthesizer import Synthesizer
+
+    cfg = Config.from_dict({
+        "train": {"segment_size": 8192},
+        "data": {"filter_length": 1024, "hop_length": 256,
+                 "win_length": 1024, "sampling_rate": 22050},
+        "model": {
+            "inter_channels": 192, "hidden_channels": 192,
+            "filter_channels": 768, "n_heads": 2, "n_layers": 6,
+            "kernel_size": 3, "p_dropout": 0.1, "resblock": "1",
+            "resblock_kernel_sizes": [3, 7, 11],
+            "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+            "upsample_rates": [8, 8, 2, 2],
+            "upsample_initial_channel": 512,
+            "upsample_kernel_sizes": [16, 16, 4, 4],
+            "gin_channels": 256,
+        },
+        "num_phones": 256, "num_speakers": 8,
+    })
+    model = Synthesizer.from_config(cfg)
+
+    B, T_TEXT, MAX_FRAMES = 8, 128, 800
+    hop, sr = cfg.data.hop_length, cfg.data.sampling_rate
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.randint(rng, (B, T_TEXT), 0, 256)
+    xl = jnp.full((B,), T_TEXT, jnp.int32)
+    sid = jnp.zeros((B,), jnp.int32)
+    rngs = {"params": rng, "noise": rng, "dropout": rng, "slice": rng}
+    spec = jnp.zeros((2, 64, cfg.data.spec_channels))
+    variables = model.init(
+        rngs, x[:2], xl[:2], spec, jnp.full((2,), 64, jnp.int32), sid[:2])
+
+    @jax.jit
+    def synth(x, xl, sid, key):
+        audio, y_lengths, _ = model.apply(
+            variables, x, xl, sid, 0.667, 1.0, 0.8, MAX_FRAMES,
+            method=Synthesizer.infer, rngs={"noise": key})
+        return audio, y_lengths
+
+    # warmup / compile
+    audio, _ = synth(x, xl, sid, jax.random.PRNGKey(1))
+    jax.block_until_ready(audio)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        audio, _ = synth(x, xl, sid, jax.random.PRNGKey(i))
+    jax.block_until_ready(audio)
+    dt = time.perf_counter() - t0
+
+    audio_seconds = iters * B * MAX_FRAMES * hop / sr
+    value = audio_seconds / dt
+    baseline = 1.0 / 0.15  # reference streaming RTF 0.15 -> 6.67 audio-s/s
+    print(json.dumps({
+        "metric": "audio_seconds_per_second_per_chip",
+        "value": round(value, 2),
+        "unit": "audio_s/s",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

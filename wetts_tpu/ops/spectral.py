@@ -163,6 +163,74 @@ def spec_to_mel(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _idft_basis(n_fft: int) -> np.ndarray:
+    """[2 * n_bins, n_fft] inverse real-DFT basis (irfft as one matmul)."""
+    n_bins = n_fft // 2 + 1
+    k = np.arange(n_bins)[:, None]
+    t = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * t / n_fft
+    c = np.full((n_bins, 1), 2.0)
+    c[0] = 1.0
+    if n_fft % 2 == 0:
+        c[-1] = 1.0
+    cos_b = (c * np.cos(ang)) / n_fft
+    sin_b = (-c * np.sin(ang)) / n_fft
+    return np.concatenate([cos_b, sin_b], axis=0).astype(np.float32)
+
+
+def istft(
+    spec_real: jax.Array,
+    spec_imag: jax.Array,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    center: bool = True,
+) -> jax.Array:
+    """Inverse STFT with hann window + overlap-add (torch.istft semantics).
+
+    spec_real/spec_imag: [B, F, n_bins] -> waveform [B, (F-1)*hop] when
+    center=True (the torchaudio.InverseSpectrogram config used by the Vocos
+    decoder, reference decoders.py:281-304).
+
+    TPU-first: irfft is a single matmul with a precomputed inverse basis;
+    overlap-add exploits hop | n_fft by summing R = n_fft/hop shifted copies
+    (no scatter).
+    """
+    assert n_fft % hop_length == 0, "istft requires hop | n_fft"
+    b, f, _ = spec_real.shape
+    basis = jnp.asarray(_idft_basis(n_fft))
+    frames = jnp.einsum(
+        "bfk,kt->bft", jnp.concatenate([spec_real, spec_imag], axis=-1), basis,
+        preferred_element_type=jnp.float32)  # [B, F, n_fft]
+    window = jnp.asarray(hann_window(win_length))
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    frames = frames * window[None, None, :]
+
+    r = n_fft // hop_length
+    total = (f - 1) * hop_length + n_fft
+    # chunk c of frame m lands at output block m + c (blocks of size hop)
+    chunks = frames.reshape(b, f, r, hop_length)
+    out = jnp.zeros((b, f + r - 1, hop_length))
+    for c in range(r):
+        out = out.at[:, c : c + f].add(chunks[:, :, c])
+    out = out.reshape(b, total)
+
+    wsq = (window * window)[None, :].reshape(1, r, hop_length)
+    env = jnp.zeros((f + r - 1, hop_length))
+    for c in range(r):
+        env = env.at[c : c + f].add(jnp.broadcast_to(wsq[:, c], (f, hop_length)))
+    env = env.reshape(total)
+    out = out / jnp.maximum(env, 1e-11)[None, :]
+
+    if center:
+        half = n_fft // 2
+        out = out[:, half : total - half]
+    return out
+
+
 def mel_spectrogram(
     y: jax.Array,
     n_fft: int,

@@ -1,0 +1,52 @@
+"""Mesh construction and data-parallel sharding.
+
+The reference's distribution story is NCCL DDP over GPUs
+(wetts/vits/train.py:47, 212-225): replicated nets, per-rank batches,
+all-reduced gradients. The TPU-native equivalent (SURVEY §2.7):
+
+- one `jax.sharding.Mesh` with a 'data' axis over all chips (ICI within a
+  slice, DCN across slices via jax.distributed),
+- batches sharded over 'data' with NamedSharding; params/opt-state
+  replicated,
+- the jitted train step then compiles to per-chip compute + psum gradient
+  exchange — XLA inserts the collectives, no user-level communication code.
+
+`host_shard_info` maps the per-host data loading role (the reference's
+DistributedBucketSampler rank striding, data_utils.py:311) onto
+jax.process_index/count.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any],
+                axis_name: str = "data") -> Dict[str, Any]:
+    """Place each [B, ...] array sharded over the mesh's data axis."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return {
+        k: jax.device_put(v, sharding) for k, v in batch.items()
+    }
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Fully replicate a pytree (params / optimizer state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def host_shard_info() -> Tuple[int, int]:
+    """(rank, world) for per-host data sharding (multi-host pods)."""
+    return jax.process_index(), jax.process_count()

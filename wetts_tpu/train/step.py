@@ -1,0 +1,233 @@
+"""The jitted GAN training step (single- and multi-chip via shardings).
+
+Reproduces the reference's per-batch update semantics
+(wetts/vits/train.py:366-507):
+1. generator forward (one set of PRNG draws, reused identically for the
+   generator's own gradient pass),
+2. discriminator update on (y_slice, stop_grad(y_hat)),
+3. optional duration-discriminator update on detached (logw_, logw),
+4. generator update where the adversarial terms see the *updated*
+   discriminators (reference steps optim_d before the G pass, :465 vs :480),
+   with loss = gen + fm + c_mel * L1(mel) + sum(l_length) + c_kl * KL
+   (+ duration-GAN term).
+
+TPU-first deltas:
+- linear/mel spectrograms are computed on-device inside the step (the
+  reference computes linear spec in DataLoader workers on CPU),
+- data parallelism comes from sharding the batch over the mesh's 'data'
+  axis; gradients are implicitly psum'd by XLA when the replicated params
+  meet sharded batches (no DDP machinery),
+- the noise-scaled MAS schedule value is computed from state.step inside the
+  step (reference train.py:375-380).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from wetts_tpu.config import Config
+from wetts_tpu.models.discriminators import (
+    DurationDiscriminatorV1,
+    DurationDiscriminatorV2,
+    MultiPeriodDiscriminator,
+    MultiPeriodMultiResolutionDiscriminator,
+)
+from wetts_tpu.models.synthesizer import Synthesizer
+from wetts_tpu.ops.masking import slice_segments
+from wetts_tpu.ops.spectral import mel_spectrogram, spec_to_mel, spectrogram
+from wetts_tpu.train.losses import (
+    discriminator_loss,
+    feature_loss,
+    generator_loss,
+    kl_loss,
+)
+from wetts_tpu.train.state import GANTrainState
+
+
+def build_models(cfg: Config):
+    """Construct the model set from a config (reference train.py:82-211)."""
+    m = cfg.model
+    net_g = Synthesizer.from_config(cfg)
+    if m.use_mrd_disc:
+        net_d = MultiPeriodMultiResolutionDiscriminator()
+    else:
+        net_d = MultiPeriodDiscriminator()
+    net_dur_d = None
+    if m.use_duration_discriminator:
+        cls = (DurationDiscriminatorV1
+               if m.duration_discriminator_type == "dur_disc_1"
+               else DurationDiscriminatorV2)
+        net_dur_d = cls(m.hidden_channels, m.hidden_channels, 3, 0.1,
+                        gin_channels=m.gin_channels)
+    return net_g, net_d, net_dur_d
+
+
+def compute_spec(cfg: Config, wav: jax.Array) -> jax.Array:
+    """On-device posterior input: linear spectrogram or log-mel [B, F, C]."""
+    d = cfg.data
+    if d.use_mel_posterior_encoder or cfg.model.use_mel_posterior_encoder:
+        return mel_spectrogram(wav, d.filter_length, d.n_mel_channels,
+                               d.sampling_rate, d.hop_length, d.win_length,
+                               d.mel_fmin, d.mel_fmax)
+    return spectrogram(wav, d.filter_length, d.hop_length, d.win_length)
+
+
+def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx):
+    """Returns train_step(state, batch_dict, rng) -> (state, metrics)."""
+    d = cfg.data
+    t = cfg.train
+    m = cfg.model
+    seg_frames = t.segment_size // d.hop_length
+    use_mel_post = d.use_mel_posterior_encoder or m.use_mel_posterior_encoder
+
+    def g_forward(params_g, batch, rngs, mas_noise_scale):
+        return net_g.apply(
+            {"params": params_g},
+            batch["phone_ids"], batch["text_lengths"],
+            batch["spec"], batch["spec_lengths"], batch["sid"],
+            mas_noise_scale, rngs=rngs)
+
+    def train_step(state: GANTrainState, batch: Dict[str, jax.Array],
+                   rng: jax.Array):
+        wav = batch["wav"]  # [B, T_samples]
+        spec = compute_spec(cfg, wav)
+        batch = dict(batch, spec=spec)
+
+        noise_rng, dropout_rng, slice_rng, mas_rng = jax.random.split(rng, 4)
+        rngs = {"noise": noise_rng, "dropout": dropout_rng,
+                "slice": slice_rng}
+
+        if m.use_noise_scaled_mas:
+            mas_noise_scale = jnp.maximum(
+                m.mas_noise_scale_initial
+                - m.noise_scale_delta * state.step.astype(jnp.float32), 0.0)
+        else:
+            mas_noise_scale = 0.0
+
+        # ---- generator forward (no grad) for the discriminator updates ----
+        out = jax.lax.stop_gradient(
+            g_forward(state.params_g, batch, rngs, mas_noise_scale))
+        y_hat = out["audio"]  # [B, seg_samples, 1]
+        ids_slice = out["ids_slice"]
+        y_slice = slice_segments(
+            wav[:, :, None], ids_slice * d.hop_length, t.segment_size)
+
+        # ---- discriminator update ----
+        def d_loss_fn(params_d):
+            y_d_r, y_d_g, _, _ = net_d.apply({"params": params_d},
+                                             y_slice, y_hat)
+            loss_disc, _, _ = discriminator_loss(y_d_r, y_d_g)
+            return loss_disc
+
+        loss_disc, grads_d = jax.value_and_grad(d_loss_fn)(state.params_d)
+        updates_d, opt_d = tx.update(grads_d, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, updates_d)
+
+        # ---- duration discriminator update ----
+        metrics = {}
+        params_dur_d, opt_dur_d = state.params_dur_d, state.opt_dur_d
+        if net_dur_d is not None:
+            def dur_d_loss_fn(p):
+                probs = net_dur_d.apply(
+                    {"params": p}, out["x_hidden"], out["x_mask"],
+                    out["logw_"], out["logw"])
+                loss, _, _ = discriminator_loss([probs[0]], [probs[1]])
+                return loss
+
+            loss_dur_disc, grads_dd = jax.value_and_grad(dur_d_loss_fn)(
+                state.params_dur_d)
+            updates_dd, opt_dur_d = tx.update(
+                grads_dd, state.opt_dur_d, state.params_dur_d)
+            params_dur_d = optax.apply_updates(state.params_dur_d, updates_dd)
+            metrics["loss/dur_disc"] = loss_dur_disc
+
+        # ---- generator update (same rngs -> identical stochastic draws) ----
+        if use_mel_post:
+            mel = spec
+        else:
+            mel = spec_to_mel(spec, d.filter_length, d.n_mel_channels,
+                              d.sampling_rate, d.mel_fmin, d.mel_fmax)
+
+        def g_loss_fn(params_g):
+            o = g_forward(params_g, batch, rngs, mas_noise_scale)
+            y_hat_g = o["audio"]
+            y_mel = slice_segments(mel, o["ids_slice"], seg_frames)
+            y_hat_mel = mel_spectrogram(
+                y_hat_g[:, :, 0], d.filter_length, d.n_mel_channels,
+                d.sampling_rate, d.hop_length, d.win_length,
+                d.mel_fmin, d.mel_fmax)
+            y_r_slice = slice_segments(
+                wav[:, :, None], o["ids_slice"] * d.hop_length,
+                t.segment_size)
+
+            y_d_r, y_d_g, fmap_r, fmap_g = net_d.apply(
+                {"params": params_d}, y_r_slice, y_hat_g)
+            loss_dur = jnp.sum(o["l_length"].astype(jnp.float32))
+            loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * t.c_mel
+            loss_kl = kl_loss(o["z_p"], o["logs_q"], o["m_p"], o["logs_p"],
+                              o["y_mask"]) * t.c_kl
+            loss_fm = feature_loss(fmap_r, fmap_g)
+            loss_gen, _ = generator_loss(y_d_g)
+            total = loss_gen + loss_fm + loss_mel + loss_dur + loss_kl
+            aux = {"loss/gen": loss_gen, "loss/fm": loss_fm,
+                   "loss/mel": loss_mel, "loss/dur": loss_dur,
+                   "loss/kl": loss_kl}
+            if net_dur_d is not None:
+                probs = net_dur_d.apply(
+                    {"params": params_dur_d}, o["x_hidden"], o["x_mask"],
+                    o["logw_"], o["logw"])
+                loss_dur_gen, _ = generator_loss([probs[1]])
+                total = total + loss_dur_gen
+                aux["loss/dur_gen"] = loss_dur_gen
+            return total, aux
+
+        (loss_gen_all, aux), grads_g = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.params_g)
+        updates_g, opt_g = tx.update(grads_g, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, updates_g)
+
+        metrics.update(aux)
+        metrics["loss/disc"] = loss_disc
+        metrics["loss/g_total"] = loss_gen_all
+        metrics["grad_norm/g"] = optax.global_norm(grads_g)
+        metrics["grad_norm/d"] = optax.global_norm(grads_d)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params_g=params_g, opt_g=opt_g,
+            params_d=params_d, opt_d=opt_d,
+            params_dur_d=params_dur_d, opt_dur_d=opt_dur_d,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def init_state(cfg: Config, rng: jax.Array, net_g, net_d, net_dur_d,
+               tx) -> GANTrainState:
+    """Initialize all parameter trees with dummy static-shaped inputs."""
+    d = cfg.data
+    t = cfg.train
+    b = 2
+    t_text, t_spec = 16, max(t.segment_size // d.hop_length + 2, 36)
+    rngs = {"params": rng, "noise": rng, "dropout": rng, "slice": rng}
+    x = jnp.ones((b, t_text), jnp.int32)
+    xl = jnp.full((b,), t_text, jnp.int32)
+    spec = jnp.zeros((b, t_spec, d.spec_channels))
+    yl = jnp.full((b,), t_spec, jnp.int32)
+    sid = jnp.zeros((b,), jnp.int32)
+    params_g = net_g.init(rngs, x, xl, spec, yl, sid)["params"]
+    wav = jnp.zeros((b, t.segment_size, 1))
+    params_d = net_d.init(rngs, wav, wav)["params"]
+    params_dur_d = None
+    if net_dur_d is not None:
+        h = jnp.zeros((b, t_text, cfg.model.hidden_channels))
+        mask = jnp.ones((b, t_text, 1))
+        dur = jnp.ones((b, t_text, 1))
+        params_dur_d = net_dur_d.init(rngs, h, mask, dur, dur)["params"]
+    return GANTrainState.create(tx, params_g, params_d, params_dur_d)
