@@ -15,4 +15,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU backend via jax.config,
+# which overrides the env var — override it back. Tests NEVER touch the
+# (single, tunnel-shared) TPU chip.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
