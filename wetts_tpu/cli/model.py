@@ -1,0 +1,121 @@
+"""CLI model bundle: frontend + acoustic model -> waveform.
+
+Behavioral parity target: wetts/cli/model.py:24-68 — loads the frontend
+model + VITS model + tables from a directory, `synthesis(text, speaker)`
+returns (phones, int16 audio) at fixed scales [0.667, 1.0, 0.8].
+
+Model directory layout (replacing the reference's ONNX artifacts with this
+framework's natives):
+    config.json            - training config (reference JSON schema)
+    checkpoint/ | G.pth    - Orbax checkpoint dir, .npz params, or a
+                             converted WeTTS torch checkpoint
+    phones.txt             - phone -> id
+    speaker.txt            - speaker -> id (optional)
+    frontend/              - frontend model dir (optional; raw-phone input
+                             mode when absent)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from wetts_tpu.config import Config
+from wetts_tpu.data.dataset import read_table
+from wetts_tpu.serving.engine import SynthesisEngine
+
+
+def load_params(model_dir: str, cfg: Config):
+    """Load acoustic-model params from any supported artifact."""
+    import jax.numpy as jnp
+
+    pth = os.path.join(model_dir, "G.pth")
+    if os.path.exists(pth):
+        import torch
+
+        from wetts_tpu.utils.convert import convert_synthesizer
+
+        ckpt = torch.load(pth, map_location="cpu", weights_only=False)
+        sd = ckpt.get("model", ckpt)
+        sd = {k: v.numpy() for k, v in sd.items()}
+        return {"params": convert_synthesizer(sd, cfg)}
+    npz = os.path.join(model_dir, "params.npz")
+    if os.path.exists(npz):
+        from wetts_tpu.utils.params_io import load_params_npz
+
+        return {"params": load_params_npz(npz)}
+    ckpt_dir = os.path.join(model_dir, "checkpoint")
+    if os.path.isdir(ckpt_dir):
+        from wetts_tpu.train import checkpoint as ckpt_mod
+        from wetts_tpu.train.state import GANTrainState, make_optimizer
+        from wetts_tpu.train.step import build_models, init_state
+
+        import jax
+
+        net_g, net_d, net_dur_d = build_models(cfg)
+        tx = make_optimizer(cfg)
+        state = init_state(cfg, jax.random.PRNGKey(0), net_g, net_d,
+                           net_dur_d, tx)
+        state = ckpt_mod.load_checkpoint(ckpt_dir, state)
+        return {"params": state.params_g}
+    raise FileNotFoundError(f"no model artifact found under {model_dir}")
+
+
+class Model:
+    def __init__(self, model_dir: str):
+        cfg = Config.from_json(os.path.join(model_dir, "config.json"))
+        phone2id = read_table(os.path.join(model_dir, "phones.txt"))
+        speaker_path = os.path.join(model_dir, "speaker.txt")
+        speaker2id = (read_table(speaker_path)
+                      if os.path.exists(speaker_path) else None)
+        cfg.num_phones = max(cfg.num_phones, max(phone2id.values()) + 1)
+        if speaker2id:
+            cfg.num_speakers = max(cfg.num_speakers,
+                                   max(speaker2id.values()) + 1)
+        params = load_params(model_dir, cfg)
+        frontend = None
+        fe_dir = os.path.join(model_dir, "frontend")
+        if os.path.isdir(fe_dir):
+            frontend = _load_frontend(fe_dir)
+        self.engine = SynthesisEngine(
+            cfg, params, phone2id, speaker2id, frontend,
+            noise_scale=0.667, length_scale=1.0, noise_scale_w=0.8)
+
+    @property
+    def sample_rate(self) -> int:
+        return self.engine.sample_rate
+
+    def synthesis(self, text: str, speaker: Optional[str] = None
+                  ) -> np.ndarray:
+        """-> int16 audio, reference scaling (inference.py:102-110)."""
+        audio = self.engine.synthesize(text, speaker)
+        if audio.size == 0:
+            return audio.astype(np.int16)
+        peak = max(0.01, float(np.abs(audio).max()))
+        return (audio * 32767.0 / peak * 0.6).astype(np.int16)
+
+
+def _load_frontend(fe_dir: str):
+    """Build the char frontend from a frontend model dir."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from wetts_tpu.cli.frontend import CharFrontend
+    from wetts_tpu.frontend.scorer import FrontendScorer
+    from wetts_tpu.models.bert_frontend import BertConfig, FrontendModel
+    from wetts_tpu.utils.params_io import load_params_npz
+
+    cfg_path = os.path.join(fe_dir, "config.json")
+    with open(cfg_path) as f:
+        d = json.load(f)
+    bert = BertConfig(**d["bert"])
+    model = FrontendModel(d["num_polyphones"], d["num_prosody"], bert,
+                          d.get("transform_heads", 8),
+                          d.get("transform_ffn", 2048))
+    params = load_params_npz(os.path.join(fe_dir, "params.npz"))
+    scorer = FrontendScorer(model, params)
+    return CharFrontend.from_dir(scorer, fe_dir)

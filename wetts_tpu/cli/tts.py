@@ -1,0 +1,34 @@
+"""Console entry: `python -m wetts_tpu.cli.tts --text ... --wav out.wav`.
+
+Behavioral parity target: wetts/cli/tts.py:30-36 + setup.py:13-15 console
+script — synthesize `--text` to `--wav` with optional `--speaker`.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def get_args():
+    parser = argparse.ArgumentParser(description="TTS synthesis (TPU-native)")
+    parser.add_argument("--text", required=True, help="text to synthesize")
+    parser.add_argument("--wav", required=True, help="output wav path")
+    parser.add_argument("--model-dir", required=True,
+                        help="model bundle directory (see cli/model.py)")
+    parser.add_argument("--speaker", default=None, help="speaker name")
+    return parser.parse_args()
+
+
+def main():
+    args = get_args()
+    from wetts_tpu.cli.model import Model
+    from wetts_tpu.utils.wav import write_wav
+
+    model = Model(args.model_dir)
+    audio = model.synthesis(args.text, args.speaker)
+    write_wav(args.wav, audio, model.sample_rate)
+    print(f"wrote {args.wav} ({audio.shape[0] / model.sample_rate:.2f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,204 @@
+"""Synthesis engine: persistent-compiled TTS orchestrator.
+
+Behavioral parity target: the C++ TTS class (runtime/core/model/tts.cc):
+- Synthesis: sentence segmentation -> per-sentence TN -> G2P/prosody ->
+  phone-id mapping with a `sil` head, skipping OOV phones with a log
+  (tts.cc:47-89) -> VITS -> concatenated audio,
+- StreamSynthesis: per-sentence encoder pass + chunked decoder with the
+  reference overlap math, skipping sentences whose conversion fails
+  (tts.cc:91-128),
+- speaker-name -> sid with first-speaker fallback (tts.cc:130-138).
+
+TPU-first design: phone sequences are bucketed to a fixed set of
+(text_len, max_frames) shapes so the whole pipeline compiles once per
+bucket; compiled executables are cached on the instance.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wetts_tpu.config import Config
+from wetts_tpu.models.synthesizer import Synthesizer
+from wetts_tpu.serving.streaming import DEFAULT_BLOCK, DEFAULT_PAD, stream_decode
+from wetts_tpu.text.segmenter import sentence_segment
+
+logger = logging.getLogger("wetts_tpu.serving")
+
+# (text_pad, max_frames) buckets: compile once per bucket
+TEXT_BUCKETS = (32, 64, 128, 192)
+FRAMES_PER_TEXT = 12  # generous upper bound on frames per phone
+
+
+class SynthesisEngine:
+    def __init__(
+        self,
+        cfg: Config,
+        params,
+        phone2id: Dict[str, int],
+        speaker2id: Optional[Dict[str, int]] = None,
+        frontend=None,  # object with .normalize(text) and .compute(text)
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        noise_scale_w: float = 0.8,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.model = Synthesizer.from_config(cfg)
+        self.params = params
+        self.phone2id = phone2id
+        self.speaker2id = speaker2id or {}
+        self.frontend = frontend
+        self.scales = (noise_scale, length_scale, noise_scale_w)
+        self.hop = int(np.prod(cfg.model.upsample_rates))
+        self.sample_rate = cfg.data.sampling_rate
+        self._rng = jax.random.PRNGKey(seed)
+        self._infer_cache = {}
+        self._encode_cache = {}
+        self._decode_cache = {}
+
+    # -- text -----------------------------------------------------------
+
+    def speaker_id(self, name: Optional[str]) -> int:
+        """Speaker-name lookup with default fallback (tts.cc:130-138)."""
+        if not self.speaker2id:
+            return 0
+        if name in self.speaker2id:
+            return self.speaker2id[name]
+        default = next(iter(self.speaker2id))
+        if name:
+            logger.info("invalid speaker %r, fallback to %r", name, default)
+        return self.speaker2id[default]
+
+    def text_to_phone_ids(self, text: str) -> List[int]:
+        """TN -> G2P -> ids with `sil` head; OOV phones skipped (tts.cc:47-73)."""
+        if self.frontend is None:
+            # raw phone-sequence input (already space-separated phones)
+            phonemes = text.split()
+        else:
+            norm = self.frontend.normalize(text)
+            phonemes = self.frontend.compute(norm)
+        if not phonemes:
+            return []
+        ids = [self.phone2id["sil"]] if "sil" in self.phone2id else []
+        for ph in phonemes:
+            if ph not in self.phone2id:
+                logger.error("can't find %r in phone2id", ph)
+                continue
+            ids.append(self.phone2id[ph])
+        return ids
+
+    # -- compiled synthesis ---------------------------------------------
+
+    def _bucket(self, n: int) -> Tuple[int, int]:
+        for b in TEXT_BUCKETS:
+            if n <= b:
+                return b, b * FRAMES_PER_TEXT
+        b = TEXT_BUCKETS[-1]
+        return b, b * FRAMES_PER_TEXT
+
+    def _infer_fn(self, text_pad: int, max_frames: int):
+        key = (text_pad, max_frames)
+        if key not in self._infer_cache:
+            ns, ls, nsw = self.scales
+
+            @jax.jit
+            def run(x, xl, sid, rng):
+                return self.model.apply(
+                    self.params, x, xl, sid, ns, ls, nsw, max_frames,
+                    method=Synthesizer.infer, rngs={"noise": rng})
+
+            self._infer_cache[key] = run
+        return self._infer_cache[key]
+
+    def _next_rng(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def _synthesize_ids(self, ids: List[int], sid: int) -> np.ndarray:
+        text_pad, max_frames = self._bucket(len(ids))
+        x = np.zeros((1, text_pad), np.int32)
+        x[0, : len(ids)] = ids
+        run = self._infer_fn(text_pad, max_frames)
+        audio, y_len, _ = run(
+            jnp.asarray(x), jnp.asarray([len(ids)], jnp.int32),
+            jnp.asarray([sid], jnp.int32), self._next_rng())
+        n = int(y_len[0]) * self.hop
+        return np.asarray(audio[0, :n, 0])
+
+    def synthesize(self, text: str, speaker: Optional[str] = None
+                   ) -> np.ndarray:
+        """Full text -> float32 waveform (tts.cc Synthesis semantics)."""
+        sid = self.speaker_id(speaker)
+        pieces = []
+        for sentence in sentence_segment(text) or [text]:
+            ids = self.text_to_phone_ids(sentence)
+            if not ids:
+                continue
+            pieces.append(self._synthesize_ids(ids, sid))
+        if not pieces:
+            return np.zeros((0,), np.float32)
+        return np.concatenate(pieces)
+
+    # -- streaming ------------------------------------------------------
+
+    def _encode_fn(self, text_pad: int, max_frames: int):
+        key = (text_pad, max_frames)
+        if key not in self._encode_cache:
+            ns, ls, nsw = self.scales
+
+            @jax.jit
+            def run(x, xl, sid, rng):
+                z, y_len, y_mask, attn, g = self.model.apply(
+                    self.params, x, xl, sid, ns, ls, nsw, max_frames,
+                    method=Synthesizer.encode_infer, rngs={"noise": rng})
+                return z, y_len, g
+
+            self._encode_cache[key] = run
+        return self._encode_cache[key]
+
+    def _decode_fn(self, n_frames: int):
+        if n_frames not in self._decode_cache:
+            @jax.jit
+            def run(z, g):
+                return self.model.apply(
+                    self.params, z, g, method=Synthesizer.decode)
+
+            self._decode_cache[n_frames] = run
+        return self._decode_cache[n_frames]
+
+    def stream_synthesize(
+        self,
+        text: str,
+        speaker: Optional[str] = None,
+        block: int = DEFAULT_BLOCK,
+        pad: int = DEFAULT_PAD,
+    ) -> Iterator[np.ndarray]:
+        """Yield audio chunks incrementally (StreamSynthesis semantics)."""
+        sid = self.speaker_id(speaker)
+        for sentence in sentence_segment(text) or [text]:
+            ids = self.text_to_phone_ids(sentence)
+            if not ids:
+                continue  # skip failed segments (tts.cc:104-120)
+            text_pad, max_frames = self._bucket(len(ids))
+            x = np.zeros((1, text_pad), np.int32)
+            x[0, : len(ids)] = ids
+            encode = self._encode_fn(text_pad, max_frames)
+            z, y_len, g = encode(
+                jnp.asarray(x), jnp.asarray([len(ids)], jnp.int32),
+                jnp.asarray([sid], jnp.int32), self._next_rng())
+            z_np = np.asarray(z[:, : int(y_len[0])])
+
+            def decode(z_chunk):
+                fn = self._decode_fn(z_chunk.shape[1])
+                return fn(jnp.asarray(z_chunk), g)
+
+            for piece in stream_decode(z_np, decode, block, pad, self.hop,
+                                       fixed_shape=True):
+                yield piece[0]

@@ -1,0 +1,116 @@
+"""HTTP synthesis server.
+
+Behavioral parity target: runtime/core/http/http_server.cc:38-152 —
+GET with query params `text` and `name` (speaker) -> synthesize -> JSON
+response {"status", "message", "audio": <base64 WAV>}; thread-per-request
+(ThreadingHTTPServer mirrors the reference's thread-per-connection model).
+A `/stream` endpoint additionally serves chunked raw PCM for streaming
+clients (cpu_triton_stream semantics).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import urllib.parse
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+class TtsServer:
+    def __init__(self, engine, host: str = "0.0.0.0", port: int = 8080):
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self._lock = threading.Lock()  # one synthesis at a time per chip
+        self._httpd = None
+
+    def make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                pass
+
+            def _send_json(self, code: int, payload: dict):
+                body = json.dumps(payload).encode("utf8")
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                parsed = urllib.parse.urlparse(self.path)
+                params = dict(urllib.parse.parse_qsl(parsed.query))
+                text = params.get("text", "")
+                name = params.get("name")
+                if not text:
+                    self._send_json(400, {"status": "failed",
+                                          "message": "missing `text` param"})
+                    return
+                if parsed.path == "/stream":
+                    self._stream(text, name)
+                    return
+                try:
+                    with server._lock:
+                        audio = server.engine.synthesize(text, name)
+                    wav = wav_bytes(audio, server.engine.sample_rate)
+                    self._send_json(200, {
+                        "status": "ok",
+                        "message": "success",
+                        "sample_rate": server.engine.sample_rate,
+                        "audio": base64.b64encode(wav).decode("ascii"),
+                    })
+                except Exception as e:  # noqa: BLE001
+                    self._send_json(500, {"status": "failed",
+                                          "message": str(e)})
+
+            def _stream(self, text: str, name):
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                try:
+                    with server._lock:
+                        for piece in server.engine.stream_synthesize(text,
+                                                                     name):
+                            pcm = (np.clip(piece, -1, 1)
+                                   * 32767.0).astype(np.int16).tobytes()
+                            self.wfile.write(
+                                f"{len(pcm):x}\r\n".encode())
+                            self.wfile.write(pcm + b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
+                except BrokenPipeError:
+                    pass
+
+        return Handler
+
+    def serve_forever(self):
+        self._httpd = ThreadingHTTPServer((self.host, self.port),
+                                          self.make_handler())
+        self._httpd.serve_forever()
+
+    def start_background(self):
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        if self._httpd:
+            self._httpd.shutdown()
