@@ -1,0 +1,86 @@
+"""End-to-end serving: engine synthesis, streaming, HTTP server."""
+
+import base64
+import json
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from wetts_tpu.config import Config
+from wetts_tpu.serving.engine import SynthesisEngine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = Config.from_dict({
+        "train": {"segment_size": 2048},
+        "data": {"filter_length": 256, "hop_length": 64, "win_length": 256,
+                 "sampling_rate": 8000},
+        "model": {
+            "inter_channels": 16, "hidden_channels": 16,
+            "filter_channels": 32, "n_heads": 2, "n_layers": 1,
+            "kernel_size": 3, "p_dropout": 0.1, "resblock": "2",
+            "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 3]],
+            "upsample_rates": [4, 4, 2, 2], "upsample_initial_channel": 32,
+            "upsample_kernel_sizes": [8, 8, 4, 4], "gin_channels": 8,
+        },
+        "num_phones": 16, "num_speakers": 2})
+    from wetts_tpu.models.synthesizer import Synthesizer
+    import jax.numpy as jnp
+
+    model = Synthesizer.from_config(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "noise": rng, "dropout": rng, "slice": rng},
+        jnp.ones((1, 8), jnp.int32), jnp.array([8]),
+        jnp.zeros((1, 36, cfg.data.spec_channels)), jnp.array([36]),
+        jnp.array([0]))
+    phone2id = {"sil": 0, "a": 1, "b": 2, "c": 3}
+    return SynthesisEngine(cfg, variables, phone2id, {"spk0": 0, "spk1": 1})
+
+
+def test_engine_synthesize_raw_phones(engine):
+    audio = engine.synthesize("a b c a b")
+    assert audio.ndim == 1 and audio.size > 0
+    assert np.isfinite(audio).all()
+
+
+def test_engine_speaker_fallback(engine):
+    assert engine.speaker_id("spk1") == 1
+    assert engine.speaker_id("nope") == 0  # fallback to first
+
+
+def test_engine_oov_phones_skipped(engine):
+    audio = engine.synthesize("a zz b")  # zz is OOV -> skipped with a log
+    assert audio.size > 0
+
+
+def test_engine_streaming_matches_total_length(engine):
+    pieces = list(engine.stream_synthesize("a b c a b c a b"))
+    assert len(pieces) >= 1
+    total = np.concatenate(pieces)
+    assert total.size % engine.hop == 0
+
+
+def test_http_server(engine):
+    from wetts_tpu.serving.server import TtsServer
+
+    server = TtsServer(engine, host="127.0.0.1", port=18123)
+    server.start_background()
+    try:
+        url = "http://127.0.0.1:18123/?text=a+b+c&name=spk0"
+        with urllib.request.urlopen(url, timeout=60) as resp:
+            payload = json.loads(resp.read())
+        assert payload["status"] == "ok"
+        wav = base64.b64decode(payload["audio"])
+        assert wav[:4] == b"RIFF"
+        # missing text -> 400
+        try:
+            urllib.request.urlopen("http://127.0.0.1:18123/", timeout=60)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
