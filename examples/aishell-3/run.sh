@@ -1,0 +1,51 @@
+#!/usr/bin/env bash
+# AISHELL-3 multi-speaker recipe (TPU). Mirrors examples/aishell-3/run.sh.
+set -e
+stage=0
+stop_stage=3
+dir=exp/v1
+config=configs/v1.json
+raw_data_dir=./aishell-3
+data=data
+test_audio=test_audio
+. ../../tools/parse_options.sh || exit 1
+repo_root=$(cd ../..; pwd)
+export PYTHONPATH=$repo_root:$PYTHONPATH
+
+if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
+  mkdir -p $data
+  python $repo_root/tools/gen_pinyin_lexicon.py \
+    --with-zero-initial --with-tone --with-r \
+    $data/lexicon.txt $data/phones.list
+  python local/prepare_data.py $data/lexicon.txt $raw_data_dir $data/all.txt
+  awk -F '|' '{print $2}' $data/all.txt | sort | uniq | \
+    awk '{print $0, NR-1}' > $data/speaker.txt
+  echo 'sil 0' > $data/phones.txt
+  awk -F '|' '{print $3}' $data/all.txt | \
+    awk '{for (i=1;i<=NF;i++) print $i}' | sort | uniq | \
+    grep -v 'sil' | awk '{print $0, NR}' >> $data/phones.txt
+  shuf --random-source=<(yes 777) $data/all.txt > $data/train.txt
+  head -n 100 $data/train.txt > $data/val.txt
+  sed -i '1,100d' $data/train.txt
+  head -n 10 $data/train.txt > $data/test.txt
+  sed -i '1,10d' $data/train.txt
+fi
+
+if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
+  python -m wetts_tpu.bin.train_vits -c $config -m $dir \
+    --train_data $data/train.txt --val_data $data/val.txt \
+    --speaker_table $data/speaker.txt --phone_table $data/phones.txt
+fi
+
+if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
+  mkdir -p $test_audio
+  python -m wetts_tpu.bin.infer_vits --cfg $config \
+    --speaker_table $data/speaker.txt --phone_table $data/phones.txt \
+    --model_dir $dir --test_file $data/test.txt --outdir $test_audio
+fi
+
+if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
+  python -m wetts_tpu.bin.export_bundle --cfg $config \
+    --speaker_table $data/speaker.txt --phone_table $data/phones.txt \
+    --model_dir $dir --out_dir $dir/bundle
+fi
