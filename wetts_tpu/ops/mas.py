@@ -82,10 +82,22 @@ def _backtrack(value: jax.Array, t_text: jax.Array, t_spec_len: jax.Array) -> ja
 def maximum_path(neg_cent: jax.Array, mask: jax.Array) -> jax.Array:
     """Best monotonic alignment path maximizing sum of neg_cent.
 
+    Dispatches to the fused Pallas kernel on TPU (ops/mas_pallas.py) and the
+    lax.scan implementation elsewhere; both are exact-equal (tests/test_mas).
+
     neg_cent: [B, T_spec, T_text] log-likelihood scores.
     mask: [B, T_spec, T_text] validity mask (outer product of spec/text masks).
     Returns float path in {0, 1} of the same shape, zero outside the mask.
     """
+    if jax.default_backend() == "tpu":
+        from wetts_tpu.ops.mas_pallas import maximum_path_pallas
+
+        return maximum_path_pallas(neg_cent, mask)
+    return maximum_path_scan(neg_cent, mask)
+
+
+def maximum_path_scan(neg_cent: jax.Array, mask: jax.Array) -> jax.Array:
+    """Pure-XLA implementation (scan forward + reverse backtrack)."""
     neg_cent = neg_cent.astype(jnp.float32)
     mask_f = mask.astype(jnp.float32)
     t_text = jnp.maximum(jnp.sum(mask_f[:, 0, :], axis=1).astype(jnp.int32), 1)

@@ -104,12 +104,14 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _set_lr(self, epoch: int):
-        lr = jnp.asarray(epoch_lr(self.cfg, epoch), jnp.float32)
         state = self.state
         for name in ("opt_g", "opt_d", "opt_dur_d", "opt_wd"):
             opt = getattr(state, name)
             if opt is not None:
-                opt.hyperparams["learning_rate"] = lr
+                # NB: a fresh array per optimizer — sharing one buffer across
+                # opt states breaks donation (same buffer donated twice)
+                opt.hyperparams["learning_rate"] = jnp.asarray(
+                    epoch_lr(self.cfg, epoch), jnp.float32)
         self.state = state
 
     def _log_metrics(self, step: int, metrics: Dict, epoch: int, sps: float):
