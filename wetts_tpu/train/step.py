@@ -208,6 +208,42 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx):
     return train_step
 
 
+def make_eval_step(cfg: Config, net_g):
+    """Validation pass: generator losses only, no updates (reference
+    train.py:624-693 evaluates with the generator in eval mode)."""
+    d = cfg.data
+    t = cfg.train
+    m = cfg.model
+    seg_frames = t.segment_size // d.hop_length
+    use_mel_post = d.use_mel_posterior_encoder or m.use_mel_posterior_encoder
+
+    def eval_step(params_g, batch, rng):
+        wav = batch["wav"]
+        spec = compute_spec(cfg, wav)
+        rngs = dict(zip(("noise", "dropout", "slice"),
+                        jax.random.split(rng, 3)))
+        o = net_g.apply(
+            {"params": params_g}, batch["phone_ids"], batch["text_lengths"],
+            spec, batch["spec_lengths"], batch["sid"], 0.0,
+            deterministic=True, rngs=rngs)
+        mel = spec if use_mel_post else spec_to_mel(
+            spec, d.filter_length, d.n_mel_channels, d.sampling_rate,
+            d.mel_fmin, d.mel_fmax)
+        y_mel = slice_segments(mel, o["ids_slice"], seg_frames)
+        y_hat_mel = mel_spectrogram(
+            o["audio"][:, :, 0], d.filter_length, d.n_mel_channels,
+            d.sampling_rate, d.hop_length, d.win_length, d.mel_fmin,
+            d.mel_fmax)
+        return {
+            "val/mel_l1": jnp.mean(jnp.abs(y_mel - y_hat_mel)),
+            "val/kl": kl_loss(o["z_p"], o["logs_q"], o["m_p"], o["logs_p"],
+                              o["y_mask"]),
+            "val/dur": jnp.sum(o["l_length"].astype(jnp.float32)),
+        }
+
+    return eval_step
+
+
 def init_state(cfg: Config, rng: jax.Array, net_g, net_d, net_dur_d,
                tx) -> GANTrainState:
     """Initialize all parameter trees with dummy static-shaped inputs."""

@@ -33,7 +33,12 @@ from wetts_tpu.train.state import (
     epoch_lr,
     make_optimizer,
 )
-from wetts_tpu.train.step import build_models, init_state, make_train_step
+from wetts_tpu.train.step import (
+    build_models,
+    init_state,
+    make_eval_step,
+    make_train_step,
+)
 
 
 def get_logger(model_dir: str) -> logging.Logger:
@@ -152,12 +157,43 @@ class Trainer:
                     t_last = now
                     self._log_metrics(step, metrics, epoch, sps)
                 if step % cfg.train.eval_interval == 0:
+                    self.evaluate(step, epoch)
                     self.save(step)
                 if max_steps is not None and step >= max_steps:
                     self.save(step)
                     return step
         self.save(step)
         return step
+
+    def evaluate(self, step: int, epoch: int, max_batches: int = 8):
+        """Validation losses on the val manifest (reference train.py:624-693)."""
+        if self.val_dataset is None or len(self.val_dataset) == 0:
+            return
+        if not hasattr(self, "_eval_step"):
+            self._eval_step = jax.jit(make_eval_step(self.cfg, self.net_g))
+            self._val_batcher = BucketBatcher(
+                self.val_dataset, self.cfg.train.batch_size,
+                seed=self.cfg.train.seed)
+        totals: Dict[str, float] = {}
+        n = 0
+        for batch in self._val_batcher(epoch=0):
+            feed = {
+                "phone_ids": batch.phone_ids,
+                "text_lengths": batch.text_lengths,
+                "wav": batch.wav,
+                "spec_lengths": batch.spec_lengths,
+                "sid": batch.sid,
+            }
+            metrics = self._eval_step(self.state.params_g, feed,
+                                      jax.random.PRNGKey(0))
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n += 1
+            if n >= max_batches:
+                break
+        if n:
+            self._log_metrics(step, {k: v / n for k, v in totals.items()},
+                              epoch, 0.0)
 
     def save(self, step: int):
         if jax.process_index() == 0:
