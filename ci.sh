@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# CI pipeline: lint + native build/test + python test suite.
+# (The reference's CI is lint-only — .github/workflows/lint.yml; this adds
+# build and test jobs per SURVEY §4's "stronger test story" requirement.)
+set -e
+cd "$(dirname "$0")"
+
+echo "== lint (compile check) =="
+python -m compileall -q wetts_tpu tools bench.py __graft_entry__.py
+
+echo "== native build + tests =="
+cmake -B native/build native -G Ninja >/dev/null
+cmake --build native/build >/dev/null
+./native/build/text_frontend_test
+
+echo "== python tests =="
+python -m pytest tests/ -q
+
+echo "CI OK"

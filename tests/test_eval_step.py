@@ -16,7 +16,7 @@ def test_eval_step(tmp_path):
     cfg = tiny_cfg()
     cfg.num_phones = 8
     cfg.num_speakers = 2
-    net_g, net_d, net_dur_d = build_models(cfg)
+    net_g, net_d, net_dur_d, _net_wd = build_models(cfg)
     tx = make_optimizer(cfg)
     state = init_state(cfg, jax.random.PRNGKey(0), net_g, net_d, net_dur_d,
                        tx)

@@ -27,6 +27,8 @@ def get_args():
     p.add_argument("--phone_table", required=True)
     p.add_argument("--speaker_table", default=None)
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--slm_model", default=None,
+                   help="local HF WavLM dir for the SLM discriminator")
     p.add_argument("--num_workers", type=int, default=0,
                    help="accepted for reference-CLI compatibility")
     p.add_argument("--multihost", action="store_true",
@@ -50,7 +52,8 @@ def main():
     shutil.copyfile(args.config,
                     os.path.join(args.model_dir, "config.json"))
     trainer = Trainer(cfg, args.model_dir, args.train_data,
-                      args.phone_table, args.speaker_table, args.val_data)
+                      args.phone_table, args.speaker_table, args.val_data,
+                      slm_model_dir=args.slm_model)
     trainer.train(max_steps=args.max_steps)
 
 

@@ -54,7 +54,7 @@ def load_params(model_dir: str, cfg: Config):
 
         import jax
 
-        net_g, net_d, net_dur_d = build_models(cfg)
+        net_g, net_d, net_dur_d, _net_wd = build_models(cfg)
         tx = make_optimizer(cfg)
         state = init_state(cfg, jax.random.PRNGKey(0), net_g, net_d,
                            net_dur_d, tx)

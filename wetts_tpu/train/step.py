@@ -64,7 +64,13 @@ def build_models(cfg: Config):
                else DurationDiscriminatorV2)
         net_dur_d = cls(m.hidden_channels, m.hidden_channels, 3, 0.1,
                         gin_channels=m.gin_channels)
-    return net_g, net_d, net_dur_d
+    net_wd = None
+    if m.use_wd:
+        from wetts_tpu.models.discriminators import WavLMDiscriminator
+
+        net_wd = WavLMDiscriminator(m.slm_hidden, m.slm_nlayers,
+                                    m.slm_initial_channel)
+    return net_g, net_d, net_dur_d, net_wd
 
 
 def compute_spec(cfg: Config, wav: jax.Array) -> jax.Array:
@@ -77,13 +83,22 @@ def compute_spec(cfg: Config, wav: jax.Array) -> jax.Array:
     return spectrogram(wav, d.filter_length, d.hop_length, d.win_length)
 
 
-def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx):
-    """Returns train_step(state, batch_dict, rng) -> (state, metrics)."""
+def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
+                    net_wd=None, slm_feature_fn=None):
+    """Returns train_step(state, batch_dict, rng) -> (state, metrics).
+
+    net_wd / slm_feature_fn: the WavLM (SLM) discriminator branch
+    (reference train.py:467-476, 496-500). slm_feature_fn maps waveforms
+    [B, T, 1] -> stacked hidden features [B, T', slm_hidden * slm_layers]
+    (a frozen WavLM; injectable so precomputed/ported extractors both work).
+    The branch is skipped when either is None.
+    """
     d = cfg.data
     t = cfg.train
     m = cfg.model
     seg_frames = t.segment_size // d.hop_length
     use_mel_post = d.use_mel_posterior_encoder or m.use_mel_posterior_encoder
+    use_wd = net_wd is not None and slm_feature_fn is not None
 
     def g_forward(params_g, batch, rngs, mas_noise_scale):
         return net_g.apply(
@@ -146,6 +161,25 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx):
             params_dur_d = optax.apply_updates(state.params_dur_d, updates_dd)
             metrics["loss/dur_disc"] = loss_dur_disc
 
+        # ---- WavLM (SLM) discriminator update (reference :467-476) ----
+        params_wd, opt_wd = state.params_wd, state.opt_wd
+        if use_wd:
+            feat_real = jax.lax.stop_gradient(slm_feature_fn(y_slice))
+            feat_fake = jax.lax.stop_gradient(slm_feature_fn(y_hat))
+
+            def wd_loss_fn(p):
+                d_r = net_wd.apply({"params": p}, feat_real)
+                d_g = net_wd.apply({"params": p}, feat_fake)
+                loss, _, _ = discriminator_loss([d_r], [d_g])
+                return loss
+
+            loss_slm, grads_wd = jax.value_and_grad(wd_loss_fn)(
+                state.params_wd)
+            updates_wd, opt_wd = tx.update(grads_wd, state.opt_wd,
+                                           state.params_wd)
+            params_wd = optax.apply_updates(state.params_wd, updates_wd)
+            metrics["loss/slm_disc"] = loss_slm
+
         # ---- generator update (same rngs -> identical stochastic draws) ----
         if use_mel_post:
             mel = spec
@@ -184,6 +218,16 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx):
                 loss_dur_gen, _ = generator_loss([probs[1]])
                 total = total + loss_dur_gen
                 aux["loss/dur_gen"] = loss_dur_gen
+            if use_wd:
+                # feature loss + SLM adversarial term (reference :496-500)
+                f_real = jax.lax.stop_gradient(slm_feature_fn(y_r_slice))
+                f_fake = slm_feature_fn(y_hat_g)
+                loss_lm = jnp.mean(jnp.abs(f_real - f_fake))
+                d_g = net_wd.apply({"params": params_wd}, f_fake)
+                loss_lm_gen, _ = generator_loss([d_g])
+                total = total + loss_lm + loss_lm_gen
+                aux["loss/slm_feat"] = loss_lm
+                aux["loss/slm_gen"] = loss_lm_gen
             return total, aux
 
         (loss_gen_all, aux), grads_g = jax.value_and_grad(
@@ -202,6 +246,7 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx):
             params_g=params_g, opt_g=opt_g,
             params_d=params_d, opt_d=opt_d,
             params_dur_d=params_dur_d, opt_dur_d=opt_dur_d,
+            params_wd=params_wd, opt_wd=opt_wd,
         )
         return new_state, metrics
 
@@ -245,7 +290,7 @@ def make_eval_step(cfg: Config, net_g):
 
 
 def init_state(cfg: Config, rng: jax.Array, net_g, net_d, net_dur_d,
-               tx) -> GANTrainState:
+               tx, net_wd=None, slm_feature_fn=None) -> GANTrainState:
     """Initialize all parameter trees with dummy static-shaped inputs."""
     d = cfg.data
     t = cfg.train
@@ -266,4 +311,9 @@ def init_state(cfg: Config, rng: jax.Array, net_g, net_d, net_dur_d,
         mask = jnp.ones((b, t_text, 1))
         dur = jnp.ones((b, t_text, 1))
         params_dur_d = net_dur_d.init(rngs, h, mask, dur, dur)["params"]
-    return GANTrainState.create(tx, params_g, params_d, params_dur_d)
+    params_wd = None
+    if net_wd is not None and slm_feature_fn is not None:
+        feat = slm_feature_fn(wav)
+        params_wd = net_wd.init(rngs, feat)["params"]
+    return GANTrainState.create(tx, params_g, params_d, params_dur_d,
+                                params_wd)

@@ -64,6 +64,7 @@ class Trainer:
         speaker_table_path: Optional[str] = None,
         val_manifest: Optional[str] = None,
         n_devices: Optional[int] = None,
+        slm_model_dir: Optional[str] = None,
     ):
         phone_table = read_table(phone_table_path)
         speaker_table = (read_table(speaker_table_path)
@@ -87,24 +88,81 @@ class Trainer:
             TTSDataset(val_manifest, phone_table, speaker_table, cfg.data)
             if val_manifest else None)
 
-        self.net_g, self.net_d, self.net_dur_d = build_models(cfg)
+        self.net_g, self.net_d, self.net_dur_d, self.net_wd = \
+            build_models(cfg)
+        self.slm_feature_fn = None
+        if self.net_wd is not None and slm_model_dir:
+            self.slm_feature_fn = self._load_slm(slm_model_dir)
+        elif self.net_wd is not None:
+            self.logger.warning(
+                "use_wd is set but no --slm_model dir given; the WavLM "
+                "discriminator branch is disabled for this run")
+            self.net_wd = None
         self.tx = make_optimizer(cfg)
         self.mesh = make_mesh(n_devices)
         rng = jax.random.PRNGKey(cfg.train.seed)
         self.rng = rng
         state = init_state(cfg, rng, self.net_g, self.net_d, self.net_dur_d,
-                           self.tx)
+                           self.tx, self.net_wd, self.slm_feature_fn)
         state = ckpt.load_checkpoint(model_dir, state)
         self.start_step = int(state.step)
         self.state = replicate(self.mesh, state)
         repl = NamedSharding(self.mesh, P())
         self.train_step = jax.jit(
             make_train_step(cfg, self.net_g, self.net_d, self.net_dur_d,
-                            self.tx),
+                            self.tx, self.net_wd, self.slm_feature_fn),
             in_shardings=(repl, NamedSharding(self.mesh, P("data")), repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
+
+    def _load_slm(self, slm_model_dir: str):
+        """Frozen WavLM feature extractor from a local HF model dir."""
+        import json as _json
+
+        import torch
+
+        from wetts_tpu.models.wavlm import (
+            WavLMConfig,
+            convert_hf_wavlm,
+            make_slm_feature_fn,
+        )
+
+        with open(os.path.join(slm_model_dir, "config.json")) as f:
+            hf = _json.load(f)
+        wcfg = WavLMConfig(
+            hidden_size=hf["hidden_size"],
+            num_layers=hf["num_hidden_layers"],
+            num_heads=hf["num_attention_heads"],
+            intermediate_size=hf["intermediate_size"],
+            conv_dim=tuple(hf["conv_dim"]),
+            conv_kernel=tuple(hf["conv_kernel"]),
+            conv_stride=tuple(hf["conv_stride"]),
+            conv_bias=hf.get("conv_bias", False),
+            num_conv_pos_embeddings=hf["num_conv_pos_embeddings"],
+            num_conv_pos_embedding_groups=hf[
+                "num_conv_pos_embedding_groups"],
+            num_buckets=hf.get("num_buckets", 320),
+            max_distance=hf.get("max_bucket_distance", 800))
+        for name in ("pytorch_model.bin", "model.safetensors"):
+            path = os.path.join(slm_model_dir, name)
+            if os.path.exists(path):
+                if name.endswith(".bin"):
+                    sd = torch.load(path, map_location="cpu",
+                                    weights_only=False)
+                else:
+                    from safetensors.torch import load_file
+
+                    sd = load_file(path)
+                break
+        else:
+            raise FileNotFoundError(f"no weights under {slm_model_dir}")
+        sd = {k.replace("wavlm.", "", 1): v.numpy() for k, v in sd.items()
+              if "masked_spec_embed" not in k}
+        params = convert_hf_wavlm(sd, wcfg)
+        return make_slm_feature_fn(
+            params=params, cfg=wcfg, model_sr=self.cfg.data.sampling_rate,
+            slm_sr=self.cfg.model.slm_sr)
 
     # ------------------------------------------------------------------
 
