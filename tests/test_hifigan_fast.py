@@ -1,0 +1,58 @@
+"""Space-to-depth decoder must equal the standard Generator exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wetts_tpu.models.hifigan import Generator
+from wetts_tpu.models.hifigan_fast import fast_generator_apply
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _compare(cfg_kwargs, t=20, gin=16):
+    g = Generator(gin_channels=gin, **cfg_kwargs)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(
+        (2, t, cfg_kwargs["initial_channel"])).astype(np.float32))
+    spk = jnp.asarray(rng.standard_normal((2, 1, gin)).astype(np.float32))
+    params = g.init({"params": KEY}, x, spk)
+    want = g.apply(params, x, spk)
+    got = fast_generator_apply(
+        params["params"], x, spk,
+        resblock=cfg_kwargs["resblock"],
+        resblock_kernel_sizes=cfg_kwargs["resblock_kernel_sizes"],
+        resblock_dilation_sizes=cfg_kwargs["resblock_dilation_sizes"],
+        upsample_rates=cfg_kwargs["upsample_rates"],
+        upsample_initial_channel=cfg_kwargs["upsample_initial_channel"],
+        upsample_kernel_sizes=cfg_kwargs["upsample_kernel_sizes"])
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fast_matches_standard_v1_shape():
+    # reference v1 topology scaled down: stages 128, 64, 32, 16 channels
+    _compare(dict(
+        initial_channel=48, resblock="1",
+        resblock_kernel_sizes=(3, 7), resblock_dilation_sizes=((1, 3, 5),) * 2,
+        upsample_rates=(8, 8, 2, 2), upsample_initial_channel=256,
+        upsample_kernel_sizes=(16, 16, 4, 4)))
+
+
+def test_fast_matches_standard_v3_shape():
+    # v3 topology: rates (8, 8, 4), ResBlock2
+    _compare(dict(
+        initial_channel=48, resblock="2",
+        resblock_kernel_sizes=(3, 5), resblock_dilation_sizes=((1, 2), (2, 6)),
+        upsample_rates=(8, 8, 4), upsample_initial_channel=256,
+        upsample_kernel_sizes=(16, 16, 8)))
+
+
+def test_fast_no_blocking_when_channels_large():
+    # all stages >= 128 channels -> falls through to the standard path
+    _compare(dict(
+        initial_channel=48, resblock="2",
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        upsample_rates=(4, 2), upsample_initial_channel=512,
+        upsample_kernel_sizes=(8, 4)), t=12)
