@@ -20,3 +20,8 @@ import jax  # noqa: E402
 # (single, tunnel-shared) TPU chip.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: the model-heavy tests are compile-bound on
+# this host; caching makes re-runs near-instant.
+jax.config.update("jax_compilation_cache_dir", "/tmp/wetts_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -8,8 +8,16 @@ against the published implementation. Nothing here ships in the framework.
 
 from __future__ import annotations
 
+import importlib.machinery
 import sys
 import types
+
+
+def _mk_module(name: str) -> types.ModuleType:
+    """Stub module with a proper __spec__ (importlib.find_spec-safe)."""
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
 
 
 class _SigType:
@@ -25,7 +33,7 @@ class _SigType:
 def _install_numba_stub():
     if "numba" in sys.modules:
         return
-    numba = types.ModuleType("numba")
+    numba = _mk_module("numba")
 
     def jit(*args, **kwargs):
         def deco(f):
@@ -45,8 +53,8 @@ def _install_torchaudio_stub():
         return
     import torch
 
-    torchaudio = types.ModuleType("torchaudio")
-    transforms = types.ModuleType("torchaudio.transforms")
+    torchaudio = _mk_module("torchaudio")
+    transforms = _mk_module("torchaudio.transforms")
 
     class InverseSpectrogram(torch.nn.Module):
         def __init__(self, n_fft=1024, hop_length=256, win_length=1024,
@@ -98,9 +106,9 @@ def _install_librosa_stub():
         return
     import numpy as np
 
-    librosa = types.ModuleType("librosa")
-    util = types.ModuleType("librosa.util")
-    filters = types.ModuleType("librosa.filters")
+    librosa = _mk_module("librosa")
+    util = _mk_module("librosa.util")
+    filters = _mk_module("librosa.filters")
 
     def pad_center(data, size, axis=-1, **kwargs):
         n = data.shape[axis]
