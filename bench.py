@@ -42,9 +42,11 @@ def main():
         },
         "num_phones": 256, "num_speakers": 8,
     })
+    from wetts_tpu.models.hifigan_fast import fast_generator_apply
+
     model = Synthesizer.from_config(cfg)
 
-    B, T_TEXT, MAX_FRAMES = 8, 128, 800
+    B, T_TEXT, MAX_FRAMES = 16, 128, 800
     hop, sr = cfg.data.hop_length, cfg.data.sampling_rate
 
     rng = jax.random.PRNGKey(0)
@@ -55,12 +57,24 @@ def main():
     spec = jnp.zeros((2, 64, cfg.data.spec_channels))
     variables = model.init(
         rngs, x[:2], xl[:2], spec, jnp.full((2,), 64, jnp.int32), sid[:2])
+    m = cfg.model
 
     @jax.jit
     def synth(x, xl, sid, key):
-        audio, y_lengths, _ = model.apply(
+        # full pipeline with the space-to-depth decoder (exact-equal to
+        # Synthesizer.infer; see models/hifigan_fast.py + its tests)
+        z, y_lengths, y_mask, attn, g = model.apply(
             variables, x, xl, sid, 0.667, 1.0, 0.8, MAX_FRAMES,
-            method=Synthesizer.infer, rngs={"noise": key})
+            method=Synthesizer.encode_infer, rngs={"noise": key})
+        audio = fast_generator_apply(
+            variables["params"]["dec"], z, g,
+            resblock=m.resblock,
+            resblock_kernel_sizes=tuple(m.resblock_kernel_sizes),
+            resblock_dilation_sizes=tuple(
+                tuple(d) for d in m.resblock_dilation_sizes),
+            upsample_rates=tuple(m.upsample_rates),
+            upsample_initial_channel=m.upsample_initial_channel,
+            upsample_kernel_sizes=tuple(m.upsample_kernel_sizes))
         return audio, y_lengths
 
     # warmup / compile

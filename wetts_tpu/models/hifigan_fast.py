@@ -204,7 +204,9 @@ def fast_generator_apply(
             r = r * u
             h = _conv(h, wb, pl, pr) + jnp.tile(
                 jnp.asarray(up["bias"]), r).astype(h.dtype)
-        elif ch < LANES and LANES % ch == 0:
+        elif ch < LANES and LANES % ch == 0 and (
+                u == LANES // ch
+                or (h.shape[1] * u) % (LANES // ch) == 0):
             # enter the blocked domain at this upsample (r_in == 1)
             r_o = LANES // ch
             if u == r_o:

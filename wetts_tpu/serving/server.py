@@ -21,6 +21,34 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+# Minimal browser demo (replaces the reference's gradio app,
+# runtime/web/app.py): text box -> GET / -> base64 WAV -> <audio> element.
+DEMO_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>wetts_tpu demo</title>
+<style>body{font-family:sans-serif;max-width:640px;margin:3em auto}
+textarea{width:100%;height:5em}button{margin-top:.5em;padding:.5em 2em}
+</style></head><body>
+<h2>wetts_tpu &mdash; TTS demo</h2>
+<textarea id="t" placeholder="Enter text..."></textarea><br>
+<input id="s" placeholder="speaker (optional)">
+<button onclick="go()">Synthesize</button>
+<p id="status"></p><audio id="a" controls></audio>
+<script>
+async function go(){
+  const st=document.getElementById('status');
+  st.textContent='synthesizing...';
+  const t=encodeURIComponent(document.getElementById('t').value);
+  const s=encodeURIComponent(document.getElementById('s').value);
+  const r=await fetch(`/?text=${t}&name=${s}`);
+  const j=await r.json();
+  if(j.status!=='ok'){st.textContent='error: '+j.message;return;}
+  document.getElementById('a').src='data:audio/wav;base64,'+j.audio;
+  document.getElementById('a').play();
+  st.textContent='done';
+}
+</script></body></html>"""
+
+
 def wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
@@ -60,6 +88,15 @@ class TtsServer:
                 params = dict(urllib.parse.parse_qsl(parsed.query))
                 text = params.get("text", "")
                 name = params.get("name")
+                if parsed.path == "/demo":
+                    body = DEMO_PAGE.encode("utf8")
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 if not text:
                     self._send_json(400, {"status": "failed",
                                           "message": "missing `text` param"})
