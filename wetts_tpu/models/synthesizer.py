@@ -76,6 +76,10 @@ class Synthesizer(nn.Module):
     vocos_out_channels: int = 1026
     vocos_num_layers: int = 8
     vocos_istft: tuple = (1024, 256, 1024)
+    # space-to-depth decoder (models/hifigan_fast.py): exact-equal fast path
+    # reading self.dec's params; init the module with this False so the
+    # standard path materializes the decoder params, then clone(True)
+    use_fast_decoder: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config) -> "Synthesizer":
@@ -166,6 +170,21 @@ class Synthesizer(nn.Module):
             return self.emb_g(sid)[:, None, :]  # [B, 1, gin]
         return None
 
+    def _decode_latent(self, z: Array, g: Optional[Array]) -> Array:
+        """dec(z) with the optional space-to-depth fast path."""
+        if self.use_fast_decoder and self.vocoder_type == "hifigan":
+            from wetts_tpu.models.hifigan_fast import fast_generator_apply
+
+            return fast_generator_apply(
+                self.dec.variables["params"], z, g,
+                resblock=self.resblock,
+                resblock_kernel_sizes=self.resblock_kernel_sizes,
+                resblock_dilation_sizes=self.resblock_dilation_sizes,
+                upsample_rates=self.upsample_rates,
+                upsample_initial_channel=self.upsample_initial_channel,
+                upsample_kernel_sizes=self.upsample_kernel_sizes)
+        return self.dec(z, g=g)
+
     def __call__(self, x, x_lengths, y, y_lengths, sid=None,
                  mas_noise_scale: float = 0.0, deterministic: bool = False
                  ) -> Dict[str, Any]:
@@ -229,7 +248,7 @@ class Synthesizer(nn.Module):
 
         z_slice, ids_slice = rand_slice_segments(
             z, y_lengths, self.segment_size, self.make_rng("slice"))
-        o = self.dec(z_slice, g=g)
+        o = self._decode_latent(z_slice, g)
         return {
             "audio": o,
             "l_length": l_length,
@@ -283,7 +302,7 @@ class Synthesizer(nn.Module):
         """Latent z [B, T, C] -> waveform (streaming decoder half, :360-363)."""
         if g is None:
             g = self._speaker(sid)
-        return self.dec(z, g=g)
+        return self._decode_latent(z, g)
 
     def infer(self, x, x_lengths, sid=None, noise_scale=1.0,
               length_scale=1.0, noise_scale_w=1.0, max_frames: int = 1000):
@@ -291,7 +310,7 @@ class Synthesizer(nn.Module):
         z, y_lengths, y_mask, attn, g = self.encode_infer(
             x, x_lengths, sid, noise_scale, length_scale, noise_scale_w,
             max_frames)
-        o = self.dec(z, g=g)
+        o = self._decode_latent(z, g)
         return o, y_lengths, attn
 
     def voice_conversion(self, y, y_lengths, sid_src, sid_tgt):

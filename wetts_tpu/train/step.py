@@ -99,6 +99,9 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
     seg_frames = t.segment_size // d.hop_length
     use_mel_post = d.use_mel_posterior_encoder or m.use_mel_posterior_encoder
     use_wd = net_wd is not None and slm_feature_fn is not None
+    if m.vocoder_type == "hifigan":
+        # space-to-depth decoder (exact-equal; models/hifigan_fast.py)
+        net_g = net_g.clone(use_fast_decoder=True)
 
     def g_forward(params_g, batch, rngs, mas_noise_scale):
         return net_g.apply(
