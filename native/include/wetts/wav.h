@@ -21,6 +21,15 @@ bool ReadWav(const std::string& path, WavData* out);
 bool WriteWav(const std::string& path, const float* samples, size_t n,
               int sample_rate, int num_channels = 1);
 
+// int16 PCM variant (audio already scaled, e.g. from the embedded engine).
+bool WriteWav(const std::string& path, const int16_t* pcm, size_t n,
+              int sample_rate, int num_channels = 1);
+
+// In-memory 16-bit PCM WAV (header + data), for the HTTP server's
+// base64-WAV JSON responses (parity: runtime/core/http/http_server.cc:96-115).
+std::vector<uint8_t> WavBytes(const int16_t* pcm, size_t n, int sample_rate,
+                              int num_channels = 1);
+
 }  // namespace wetts
 
 #endif  // WETTS_WAV_H_

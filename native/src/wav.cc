@@ -80,37 +80,55 @@ bool ReadWav(const std::string& path, WavData* out) {
   return true;
 }
 
-bool WriteWav(const std::string& path, const float* samples, size_t n,
-              int sample_rate, int num_channels) {
-  std::ofstream outf(path, std::ios::binary);
-  if (!outf.is_open()) return false;
+std::vector<uint8_t> WavBytes(const int16_t* pcm, size_t n, int sample_rate,
+                              int num_channels) {
   uint32_t data_size = static_cast<uint32_t>(n * 2);
   uint32_t riff_size = 36 + data_size;
   uint16_t fmt = 1, bits = 16;
   uint16_t block_align = static_cast<uint16_t>(num_channels * 2);
   uint32_t byte_rate = sample_rate * block_align;
   uint32_t fmt_size = 16;
-  outf.write("RIFF", 4);
-  outf.write(reinterpret_cast<char*>(&riff_size), 4);
-  outf.write("WAVEfmt ", 8);
-  outf.write(reinterpret_cast<char*>(&fmt_size), 4);
-  outf.write(reinterpret_cast<char*>(&fmt), 2);
   uint16_t ch16 = static_cast<uint16_t>(num_channels);
-  outf.write(reinterpret_cast<char*>(&ch16), 2);
   uint32_t sr = static_cast<uint32_t>(sample_rate);
-  outf.write(reinterpret_cast<char*>(&sr), 4);
-  outf.write(reinterpret_cast<char*>(&byte_rate), 4);
-  outf.write(reinterpret_cast<char*>(&block_align), 2);
-  outf.write(reinterpret_cast<char*>(&bits), 2);
-  outf.write("data", 4);
-  outf.write(reinterpret_cast<char*>(&data_size), 4);
+  std::vector<uint8_t> out;
+  out.reserve(44 + data_size);
+  auto put = [&out](const void* p, size_t len) {
+    const uint8_t* b = reinterpret_cast<const uint8_t*>(p);
+    out.insert(out.end(), b, b + len);
+  };
+  put("RIFF", 4);
+  put(&riff_size, 4);
+  put("WAVEfmt ", 8);
+  put(&fmt_size, 4);
+  put(&fmt, 2);
+  put(&ch16, 2);
+  put(&sr, 4);
+  put(&byte_rate, 4);
+  put(&block_align, 2);
+  put(&bits, 2);
+  put("data", 4);
+  put(&data_size, 4);
+  put(pcm, data_size);
+  return out;
+}
+
+bool WriteWav(const std::string& path, const int16_t* pcm, size_t n,
+              int sample_rate, int num_channels) {
+  std::ofstream outf(path, std::ios::binary);
+  if (!outf.is_open()) return false;
+  std::vector<uint8_t> bytes = WavBytes(pcm, n, sample_rate, num_channels);
+  outf.write(reinterpret_cast<const char*>(bytes.data()), bytes.size());
+  return static_cast<bool>(outf);
+}
+
+bool WriteWav(const std::string& path, const float* samples, size_t n,
+              int sample_rate, int num_channels) {
   std::vector<int16_t> pcm(n);
   for (size_t i = 0; i < n; ++i) {
     float v = std::max(-1.0f, std::min(1.0f, samples[i]));
     pcm[i] = static_cast<int16_t>(std::lround(v * 32767.0f));
   }
-  outf.write(reinterpret_cast<const char*>(pcm.data()), data_size);
-  return static_cast<bool>(outf);
+  return WriteWav(path, pcm.data(), n, sample_rate, num_channels);
 }
 
 }  // namespace wetts

@@ -37,15 +37,23 @@ def load_params(model_dir: str, cfg: Config):
 
         from wetts_tpu.utils.convert import convert_synthesizer
 
+        import jax
+
         ckpt = torch.load(pth, map_location="cpu", weights_only=False)
         sd = ckpt.get("model", ckpt)
         sd = {k: v.numpy() for k, v in sd.items()}
-        return {"params": convert_synthesizer(sd, cfg)}
+        return {"params": jax.tree_util.tree_map(
+            jnp.asarray, convert_synthesizer(sd, cfg))}
     npz = os.path.join(model_dir, "params.npz")
     if os.path.exists(npz):
+        import jax
+
         from wetts_tpu.utils.params_io import load_params_npz
 
-        return {"params": load_params_npz(npz)}
+        # device arrays, not numpy: indexing a host numpy array with a
+        # traced id array inside jit is a TracerArrayConversionError
+        return {"params": jax.tree_util.tree_map(jnp.asarray,
+                                                 load_params_npz(npz))}
     ckpt_dir = os.path.join(model_dir, "checkpoint")
     if os.path.isdir(ckpt_dir):
         from wetts_tpu.train import checkpoint as ckpt_mod

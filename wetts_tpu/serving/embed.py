@@ -1,0 +1,53 @@
+"""Embedded-engine bootstrap for the native serving binaries.
+
+The reference's native runtime executes models through an embedded
+inference library (ONNX Runtime sessions owned by C++ —
+runtime/core/model/onnx_model.cc:29-96). The TPU-native equivalent embeds
+CPython and drives the XLA/PJRT runtime through this module: C++ owns flag
+parsing, orchestration, WAV I/O, and the HTTP server
+(native/src/{tts_main,http_server_main}.cc) and calls the functions below
+via the CPython C API (native/src/embed_engine.cc).
+
+All return values crossing the ABI are plain bytes/ints so the C++ side
+never needs numpy headers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MODEL = None
+
+
+def init(model_dir: str) -> int:
+    """Load a model bundle directory; returns the sample rate."""
+    global _MODEL
+    from wetts_tpu.cli.model import Model
+
+    _MODEL = Model(model_dir)
+    return int(_MODEL.sample_rate)
+
+
+def synthesize(text: str, name: str = "") -> bytes:
+    """Full synthesis -> little-endian int16 PCM bytes.
+
+    Same int16 scaling as the PyTorch inference script
+    (wetts/vits/inference.py:102-110, mirrored by cli/model.py).
+    """
+    if _MODEL is None:
+        raise RuntimeError("embed.init(model_dir) must be called first")
+    audio = _MODEL.synthesis(text, name or None)
+    return audio.astype("<i2").tobytes()
+
+
+def stream_synthesize(text: str, name: str = ""):
+    """Streaming synthesis -> iterator of int16 PCM byte chunks.
+
+    Chunked-decoder semantics of TTS::StreamSynthesis
+    (runtime/core/model/tts.cc:91-128).
+    """
+    if _MODEL is None:
+        raise RuntimeError("embed.init(model_dir) must be called first")
+    for piece in _MODEL.engine.stream_synthesize(text, name or None):
+        pcm = np.clip(piece, -1.0, 1.0) * 32767.0
+        yield pcm.astype("<i2").tobytes()
