@@ -14,6 +14,8 @@ is >=500 audio-s/s per chip (BASELINE.json).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
+import contextlib
 import json
 import time
 
@@ -22,6 +24,10 @@ import jax.numpy as jnp
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the timed loop")
+    cli = ap.parse_args()
     from wetts_tpu.config import Config
     from wetts_tpu.models.synthesizer import Synthesizer
 
@@ -81,12 +87,17 @@ def main():
     audio, _ = synth(x, xl, sid, jax.random.PRNGKey(1))
     jax.block_until_ready(audio)
 
+    from wetts_tpu.utils.profiling import device_trace
+
+    trace = (device_trace(cli.profile) if cli.profile
+             else contextlib.nullcontext())
     iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        audio, _ = synth(x, xl, sid, jax.random.PRNGKey(i))
-    jax.block_until_ready(audio)
-    dt = time.perf_counter() - t0
+    with trace:
+        t0 = time.perf_counter()
+        for i in range(iters):
+            audio, _ = synth(x, xl, sid, jax.random.PRNGKey(i))
+        jax.block_until_ready(audio)
+        dt = time.perf_counter() - t0
 
     audio_seconds = iters * B * MAX_FRAMES * hop / sr
     value = audio_seconds / dt

@@ -9,6 +9,21 @@ import pytest
 from wetts_tpu.config import Config
 
 
+@pytest.fixture(autouse=True)
+def _no_persistent_cache():
+    """jaxlib 0.9.0's CPU backend can segfault when serializing a
+    mesh-sharded, donated-buffer executable into the persistent compilation
+    cache (compilation_cache.put_executable_and_time) — the Trainer's
+    train_step is exactly that shape. Skip persistent-cache writes for
+    these tests; everything else in the suite still caches."""
+    import jax
+
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
+
 def make_dataset(tmp_path, n=6, sr=8000, hop=64):
     """Synthetic sine-wave corpus + manifest + tables."""
     wav_dir = tmp_path / "wavs"

@@ -25,6 +25,9 @@ def get_args():
     p.add_argument("--noise_scale", type=float, default=0.667)
     p.add_argument("--noise_scale_w", type=float, default=0.8)
     p.add_argument("--length_scale", type=float, default=1.0)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler (TensorBoard/Perfetto) "
+                        "trace of the synthesis loop")
     return p.parse_args()
 
 
@@ -55,7 +58,15 @@ def main():
     sr = cfg.data.sampling_rate
     total_audio_s = 0.0
     total_wall = 0.0
-    with open(args.test_file, encoding="utf8") as f:
+    import contextlib
+
+    if args.profile:
+        from wetts_tpu.utils.profiling import device_trace
+
+        trace = device_trace(args.profile)
+    else:
+        trace = contextlib.nullcontext()
+    with trace, open(args.test_file, encoding="utf8") as f:
         for line in f:
             parts = line.strip().split("|")
             if len(parts) < 3:
@@ -77,6 +88,9 @@ def main():
         print(f"TOTAL: {total_audio_s:.1f}s audio, overall RTF "
               f"{total_wall / total_audio_s:.4f} "
               f"({total_audio_s / max(total_wall, 1e-9):.1f}x realtime)")
+        # per-stage breakdown (reference prints per-stage wall times inside
+        # infer, models.py:242-279)
+        print(f"stages: {engine.stage_times.summary()}")
 
 
 if __name__ == "__main__":

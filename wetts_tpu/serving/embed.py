@@ -14,14 +14,32 @@ never needs numpy headers.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 _MODEL = None
 
 
+def _apply_platform_env() -> None:
+    """Honor JAX_PLATFORMS for the embedded interpreter.
+
+    Managed TPU images may force-register their backend through
+    `jax.config` in sitecustomize, which overrides the env var; serving
+    binaries must still be steerable to CPU (e.g. in tests or on hosts
+    whose chip is owned by a trainer), so re-apply the env var on top.
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def init(model_dir: str) -> int:
     """Load a model bundle directory; returns the sample rate."""
     global _MODEL
+    _apply_platform_env()
     from wetts_tpu.cli.model import Model
 
     _MODEL = Model(model_dir)

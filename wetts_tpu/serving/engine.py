@@ -28,6 +28,7 @@ from wetts_tpu.config import Config
 from wetts_tpu.models.synthesizer import Synthesizer
 from wetts_tpu.serving.streaming import DEFAULT_BLOCK, DEFAULT_PAD, stream_decode
 from wetts_tpu.text.segmenter import sentence_segment
+from wetts_tpu.utils.profiling import StageTimes
 
 logger = logging.getLogger("wetts_tpu.serving")
 
@@ -63,6 +64,9 @@ class SynthesisEngine:
         self._infer_cache = {}
         self._encode_cache = {}
         self._decode_cache = {}
+        # per-stage latency accumulator (reference logs synth time via a
+        # C++ Timer, http_server.cc:87-94; per-stage prints models.py:242-279)
+        self.stage_times = StageTimes()
         # space-to-depth decoder (models/hifigan_fast.py): exact-equal,
         # ~1.8x decoder throughput on TPU (lane-padding elimination)
         self.use_fast_decoder = (use_fast_decoder
@@ -166,13 +170,18 @@ class SynthesisEngine:
         sid = self.speaker_id(speaker)
         pieces = []
         for sentence in sentence_segment(text) or [text]:
-            ids = self.text_to_phone_ids(sentence)
+            with self.stage_times.stage("frontend"):
+                ids = self.text_to_phone_ids(sentence)
             if not ids:
                 continue
-            pieces.append(self._synthesize_ids(ids, sid))
+            with self.stage_times.stage("vits"):
+                pieces.append(self._synthesize_ids(ids, sid))
         if not pieces:
             return np.zeros((0,), np.float32)
-        return np.concatenate(pieces)
+        audio = np.concatenate(pieces)
+        if logger.isEnabledFor(logging.DEBUG):
+            logger.debug("synthesize: %s", self.stage_times.summary())
+        return audio
 
     # -- streaming ------------------------------------------------------
 
@@ -216,21 +225,24 @@ class SynthesisEngine:
         """Yield audio chunks incrementally (StreamSynthesis semantics)."""
         sid = self.speaker_id(speaker)
         for sentence in sentence_segment(text) or [text]:
-            ids = self.text_to_phone_ids(sentence)
+            with self.stage_times.stage("frontend"):
+                ids = self.text_to_phone_ids(sentence)
             if not ids:
                 continue  # skip failed segments (tts.cc:104-120)
             text_pad, max_frames = self._bucket(len(ids))
             x = np.zeros((1, text_pad), np.int32)
             x[0, : len(ids)] = ids
             encode = self._encode_fn(text_pad, max_frames)
-            z, y_len, g = encode(
-                jnp.asarray(x), jnp.asarray([len(ids)], jnp.int32),
-                jnp.asarray([sid], jnp.int32), self._next_rng())
-            z_np = np.asarray(z[:, : int(y_len[0])])
+            with self.stage_times.stage("encode"):
+                z, y_len, g = encode(
+                    jnp.asarray(x), jnp.asarray([len(ids)], jnp.int32),
+                    jnp.asarray([sid], jnp.int32), self._next_rng())
+                z_np = np.asarray(z[:, : int(y_len[0])])
 
             def decode(z_chunk):
                 fn = self._decode_fn(z_chunk.shape[1])
-                return fn(jnp.asarray(z_chunk), g)
+                with self.stage_times.stage("decode_chunk"):
+                    return fn(jnp.asarray(z_chunk), g)
 
             for piece in stream_decode(z_np, decode, block, pad, self.hop,
                                        fixed_shape=True):

@@ -83,6 +83,40 @@ def compute_spec(cfg: Config, wav: jax.Array) -> jax.Array:
     return spectrogram(wav, d.filter_length, d.hop_length, d.win_length)
 
 
+def _cast_floats(tree, dtype):
+    """Cast floating leaves of a pytree to `dtype` (ints/bools untouched)."""
+    def cast(x):
+        if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype,
+                                                       jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree.map(cast, tree)
+
+
+def make_half_apply(enabled: bool):
+    """Mixed-precision wrapper around `module.apply` (reference AMP,
+    train.py:310,390,436-507).
+
+    TPU-first delta: the reference uses fp16 autocast + GradScaler; on TPU
+    the native half type is bfloat16, whose fp32-sized exponent makes loss
+    scaling unnecessary. Params and float inputs are cast to bf16 for the
+    apply (so matmuls/convs hit the MXU at 2x rate), outputs are cast back
+    to fp32, and the master params / optimizer state stay fp32 — casting
+    inside the loss fn makes the grads come out fp32 automatically.
+    """
+    if not enabled:
+        def apply(module, params, *args, **kwargs):
+            return module.apply({"params": params}, *args, **kwargs)
+        return apply
+
+    def apply(module, params, *args, **kwargs):
+        params_h = _cast_floats(params, jnp.bfloat16)
+        args_h = _cast_floats(args, jnp.bfloat16)
+        out = module.apply({"params": params_h}, *args_h, **kwargs)
+        return _cast_floats(out, jnp.float32)
+    return apply
+
+
 def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
                     net_wd=None, slm_feature_fn=None):
     """Returns train_step(state, batch_dict, rng) -> (state, metrics).
@@ -102,10 +136,11 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
     if m.vocoder_type == "hifigan":
         # space-to-depth decoder (exact-equal; models/hifigan_fast.py)
         net_g = net_g.clone(use_fast_decoder=True)
+    half_apply = make_half_apply(t.fp16_run or t.bf16_run)
 
     def g_forward(params_g, batch, rngs, mas_noise_scale):
-        return net_g.apply(
-            {"params": params_g},
+        return half_apply(
+            net_g, params_g,
             batch["phone_ids"], batch["text_lengths"],
             batch["spec"], batch["spec_lengths"], batch["sid"],
             mas_noise_scale, rngs=rngs)
@@ -137,8 +172,7 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
 
         # ---- discriminator update ----
         def d_loss_fn(params_d):
-            y_d_r, y_d_g, _, _ = net_d.apply({"params": params_d},
-                                             y_slice, y_hat)
+            y_d_r, y_d_g, _, _ = half_apply(net_d, params_d, y_slice, y_hat)
             loss_disc, _, _ = discriminator_loss(y_d_r, y_d_g)
             return loss_disc
 
@@ -151,8 +185,8 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
         params_dur_d, opt_dur_d = state.params_dur_d, state.opt_dur_d
         if net_dur_d is not None:
             def dur_d_loss_fn(p):
-                probs = net_dur_d.apply(
-                    {"params": p}, out["x_hidden"], out["x_mask"],
+                probs = half_apply(
+                    net_dur_d, p, out["x_hidden"], out["x_mask"],
                     out["logw_"], out["logw"])
                 loss, _, _ = discriminator_loss([probs[0]], [probs[1]])
                 return loss
@@ -171,8 +205,8 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
             feat_fake = jax.lax.stop_gradient(slm_feature_fn(y_hat))
 
             def wd_loss_fn(p):
-                d_r = net_wd.apply({"params": p}, feat_real)
-                d_g = net_wd.apply({"params": p}, feat_fake)
+                d_r = half_apply(net_wd, p, feat_real)
+                d_g = half_apply(net_wd, p, feat_fake)
                 loss, _, _ = discriminator_loss([d_r], [d_g])
                 return loss
 
@@ -202,8 +236,8 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
                 wav[:, :, None], o["ids_slice"] * d.hop_length,
                 t.segment_size)
 
-            y_d_r, y_d_g, fmap_r, fmap_g = net_d.apply(
-                {"params": params_d}, y_r_slice, y_hat_g)
+            y_d_r, y_d_g, fmap_r, fmap_g = half_apply(
+                net_d, params_d, y_r_slice, y_hat_g)
             loss_dur = jnp.sum(o["l_length"].astype(jnp.float32))
             loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * t.c_mel
             loss_kl = kl_loss(o["z_p"], o["logs_q"], o["m_p"], o["logs_p"],
@@ -215,8 +249,8 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
                    "loss/mel": loss_mel, "loss/dur": loss_dur,
                    "loss/kl": loss_kl}
             if net_dur_d is not None:
-                probs = net_dur_d.apply(
-                    {"params": params_dur_d}, o["x_hidden"], o["x_mask"],
+                probs = half_apply(
+                    net_dur_d, params_dur_d, o["x_hidden"], o["x_mask"],
                     o["logw_"], o["logw"])
                 loss_dur_gen, _ = generator_loss([probs[1]])
                 total = total + loss_dur_gen
@@ -226,7 +260,7 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
                 f_real = jax.lax.stop_gradient(slm_feature_fn(y_r_slice))
                 f_fake = slm_feature_fn(y_hat_g)
                 loss_lm = jnp.mean(jnp.abs(f_real - f_fake))
-                d_g = net_wd.apply({"params": params_wd}, f_fake)
+                d_g = half_apply(net_wd, params_wd, f_fake)
                 loss_lm_gen, _ = generator_loss([d_g])
                 total = total + loss_lm + loss_lm_gen
                 aux["loss/slm_feat"] = loss_lm
