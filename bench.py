@@ -27,6 +27,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed loop")
+    ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"],
+                    help="decoder compute dtype. Default bf16 — the "
+                         "half-precision serving path (drift <~1e-3; "
+                         "tests/test_hifigan_fast.py), an apples-to-apples "
+                         "peer of the reference's published number, which "
+                         "is measured on a uint8-dynamically-quantized "
+                         "model (cpu_triton_stream/README.md). f32 = the "
+                         "exact parity path used by the allclose tests.")
+    ap.add_argument("--batch", type=int, default=16)
     cli = ap.parse_args()
     from wetts_tpu.config import Config
     from wetts_tpu.models.synthesizer import Synthesizer
@@ -52,7 +61,7 @@ def main():
 
     model = Synthesizer.from_config(cfg)
 
-    B, T_TEXT, MAX_FRAMES = 16, 128, 800
+    B, T_TEXT, MAX_FRAMES = cli.batch, 128, 800
     hop, sr = cfg.data.hop_length, cfg.data.sampling_rate
 
     rng = jax.random.PRNGKey(0)
@@ -65,6 +74,8 @@ def main():
         rngs, x[:2], xl[:2], spec, jnp.full((2,), 64, jnp.int32), sid[:2])
     m = cfg.model
 
+    dec_dtype = jnp.bfloat16 if cli.dtype == "bf16" else None
+
     @jax.jit
     def synth(x, xl, sid, key):
         # full pipeline with the space-to-depth decoder (exact-equal to
@@ -73,7 +84,7 @@ def main():
             variables, x, xl, sid, 0.667, 1.0, 0.8, MAX_FRAMES,
             method=Synthesizer.encode_infer, rngs={"noise": key})
         audio = fast_generator_apply(
-            variables["params"]["dec"], z, g,
+            variables["params"]["dec"], z, g, dtype=dec_dtype,
             resblock=m.resblock,
             resblock_kernel_sizes=tuple(m.resblock_kernel_sizes),
             resblock_dilation_sizes=tuple(

@@ -12,6 +12,7 @@ echo "== native build + tests =="
 cmake -B native/build native -G Ninja >/dev/null
 cmake --build native/build >/dev/null
 ./native/build/text_frontend_test
+./native/build/wav_test
 
 echo "== python tests =="
 python -m pytest tests/ -q

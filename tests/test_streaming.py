@@ -92,3 +92,23 @@ def test_total_length_preserved():
             z, lambda c: np.zeros((1, c.shape[1] * upsample)),
             block=40, pad=10, upsample=upsample))
         assert sum(p.shape[1] for p in pieces) == t * upsample
+
+
+def test_chunk_schedule_matches_get_chunks():
+    """Device-gather plan == host chunk math (incl. reflect tail)."""
+    import numpy as np
+
+    from wetts_tpu.serving.streaming import chunk_schedule, get_chunks
+
+    rng = np.random.default_rng(0)
+    for t in (7, 40, 95, 120, 121, 399):
+        z = rng.standard_normal((2, t, 5)).astype(np.float32)
+        chunks = get_chunks(z, block=40, pad=10, fixed_shape=True)
+        plan = chunk_schedule(t, block=40, pad=10)
+        assert len(plan) == len(chunks)
+        for (meta, idx), chunk in zip(plan, chunks):
+            assert meta.chunk_id == chunk.chunk_id
+            assert meta.chunk_num == chunk.chunk_num
+            assert meta.valid_frames == chunk.valid_frames
+            gathered = z[:, idx]
+            np.testing.assert_array_equal(gathered, chunk.data)

@@ -181,13 +181,21 @@ def fast_generator_apply(
     upsample_rates: Sequence[int],
     upsample_initial_channel: int,
     upsample_kernel_sizes: Sequence[int],
+    dtype=None,
 ) -> Array:
     """Same function as models.hifigan.Generator, space-to-depth tail.
 
     dec_params: the Generator's param subtree ('dec' in the synthesizer).
     x: [B, T, C_inter]; g: [B, 1, gin] or None. Returns [B, T*prod(u), 1].
+    dtype: compute dtype for the decoder (e.g. jnp.bfloat16 — halves the
+    HBM traffic of the elementwise-bound MRF tail; the output is cast back
+    to float32). None keeps the input dtype (exact fp32 path). Weight-norm
+    folding always happens in the params' own precision before the cast.
     """
     num_kernels = len(resblock_kernel_sizes)
+    if dtype is not None:
+        x = x.astype(dtype)
+        g = g.astype(dtype) if g is not None else None
     h = _plain_conv(x, dec_params["conv_pre"], padding=3)
     if g is not None and "cond" in dec_params:
         h = h + _plain_conv(g, dec_params["cond"], padding=0)
@@ -243,7 +251,8 @@ def fast_generator_apply(
         h = h.reshape(b, tb * rr, 1)
     else:
         h = _conv(h, w, 3, 3)
-    return jnp.tanh(h)
+    out = jnp.tanh(h)
+    return out.astype(jnp.float32) if dtype is not None else out
 
 
 def _std_resblock(x, params, kernel_size, dilations, resblock_kind):

@@ -26,7 +26,12 @@ import numpy as np
 
 from wetts_tpu.config import Config
 from wetts_tpu.models.synthesizer import Synthesizer
-from wetts_tpu.serving.streaming import DEFAULT_BLOCK, DEFAULT_PAD, stream_decode
+from wetts_tpu.serving.streaming import (
+    DEFAULT_BLOCK,
+    DEFAULT_PAD,
+    chunk_schedule,
+    depad_audio,
+)
 from wetts_tpu.text.segmenter import sentence_segment
 from wetts_tpu.utils.profiling import StageTimes
 
@@ -50,6 +55,7 @@ class SynthesisEngine:
         noise_scale_w: float = 0.8,
         seed: int = 0,
         use_fast_decoder: bool = True,
+        half: bool = False,
     ):
         self.cfg = cfg
         self.model = Synthesizer.from_config(cfg)
@@ -71,6 +77,10 @@ class SynthesisEngine:
         # ~1.8x decoder throughput on TPU (lane-padding elimination)
         self.use_fast_decoder = (use_fast_decoder
                                  and cfg.model.vocoder_type == "hifigan")
+        # bf16 decoder (the uint8-quantized-serving analog — the reference's
+        # published streaming RTF is measured on a dynamically-quantized
+        # model, cpu_triton_stream/README.md): ~1.2x, waveform drift <~1e-3
+        self.half = half and self.use_fast_decoder
 
     def _fast_decode(self, z, g):
         from wetts_tpu.models.hifigan_fast import fast_generator_apply
@@ -78,6 +88,7 @@ class SynthesisEngine:
         m = self.cfg.model
         return fast_generator_apply(
             self.params["params"]["dec"], z, g,
+            dtype=jnp.bfloat16 if self.half else None,
             resblock=m.resblock,
             resblock_kernel_sizes=tuple(m.resblock_kernel_sizes),
             resblock_dilation_sizes=tuple(
@@ -215,6 +226,28 @@ class SynthesisEngine:
             self._decode_cache[n_frames] = run
         return self._decode_cache[n_frames]
 
+    def _decode_gather_fn(self, full: int):
+        """Jitted chunk decode that gathers its fixed-shape input from the
+        on-device z by absolute frame indices (overlap + reflect tail
+        baked into the indices; streaming.chunk_schedule). Keeps the
+        latent device-resident — the only per-chunk host transfer is the
+        audio itself."""
+        key = ("gather", full)
+        if key not in self._decode_cache:
+            if self.use_fast_decoder:
+                @jax.jit
+                def run(z, g, idx):
+                    return self._fast_decode(jnp.take(z, idx, axis=1), g)
+            else:
+                @jax.jit
+                def run(z, g, idx):
+                    return self.model.apply(
+                        self.params, jnp.take(z, idx, axis=1), g,
+                        method=Synthesizer.decode)
+
+            self._decode_cache[key] = run
+        return self._decode_cache[key]
+
     def stream_synthesize(
         self,
         text: str,
@@ -237,13 +270,18 @@ class SynthesisEngine:
                 z, y_len, g = encode(
                     jnp.asarray(x), jnp.asarray([len(ids)], jnp.int32),
                     jnp.asarray([sid], jnp.int32), self._next_rng())
-                z_np = np.asarray(z[:, : int(y_len[0])])
-
-            def decode(z_chunk):
-                fn = self._decode_fn(z_chunk.shape[1])
+                t = int(y_len[0])  # the single scalar host round-trip
+            if t <= 0:
+                continue
+            decode = self._decode_gather_fn(block + 2 * pad)
+            # dispatch every chunk decode up front (dispatch is async);
+            # the fetch loop below then overlaps device compute with the
+            # host transfer of earlier chunks
+            pending = []
+            for chunk, idx in chunk_schedule(t, block, pad):
+                audio = decode(z, g, jnp.asarray(idx))
+                pending.append((chunk, audio))
+            for chunk, audio in pending:
                 with self.stage_times.stage("decode_chunk"):
-                    return fn(jnp.asarray(z_chunk), g)
-
-            for piece in stream_decode(z_np, decode, block, pad, self.hop,
-                                       fixed_shape=True):
-                yield piece[0]
+                    host = np.asarray(audio)[:, :, 0]
+                yield depad_audio(host, chunk, block, pad, self.hop)[0]

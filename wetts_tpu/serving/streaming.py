@@ -71,9 +71,18 @@ def get_chunks(
             target = min_chunk
         if target is not None and valid < target:
             pad_end = target - valid
-            # reflect-pad over time (stream_tts model.py:82-85)
+            # reflect-pad over time (stream_tts model.py:82-85); if the
+            # chunk is shorter than the pad itself (only possible for very
+            # short utterances — the reference's MIN_CHUNK never hits
+            # this), edge-pad the remainder so the shape really is fixed
+            pe = min(pad_end, valid - 1)
             piece = np.concatenate(
-                [piece, piece[:, -2 : -2 - pad_end : -1]], axis=1)
+                [piece, piece[:, -2 : -2 - pe : -1]], axis=1)
+            if piece.shape[1] < target:
+                piece = np.concatenate(
+                    [piece, np.repeat(piece[:, -1:],
+                                      target - piece.shape[1], axis=1)],
+                    axis=1)
         chunks.append(Chunk(piece, i, num, valid, pad_end))
     return chunks
 
@@ -114,3 +123,31 @@ def stream_decode(
         if audio.ndim == 3:
             audio = audio[:, :, 0]
         yield depad_audio(audio, chunk, block, pad, upsample)
+
+
+def chunk_schedule(t: int, block: int, pad: int
+                   ) -> List[Tuple[Chunk, np.ndarray]]:
+    """Device-side streaming plan: (Chunk metadata, gather indices).
+
+    Same chunk/overlap/reflect math as get_chunks, expressed as per-chunk
+    absolute frame indices of length block+2*pad, so a jitted decoder can
+    gather its fixed-shape input directly from the on-device z — no
+    host round-trip of the latent (get_chunks copies z to host; on a
+    remote-attached TPU each transfer costs far more than the decode).
+    """
+    full = block + 2 * pad
+    num = math.ceil(t / block)
+    out = []
+    for i in range(num):
+        start = max(0, i * block - pad)
+        end = min((i + 1) * block + pad, t)
+        valid = end - start
+        j = np.arange(full)
+        # reflect-pad past the valid span (stream_tts model.py:82-85);
+        # clamped into the chunk so 1-frame chunks stay in range
+        idx = np.where(j < valid,
+                       start + j,
+                       np.clip(end - 2 - (j - valid), start, end - 1))
+        out.append((Chunk(None, i, num, valid, full - valid),
+                    idx.astype(np.int32)))
+    return out
