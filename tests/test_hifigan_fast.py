@@ -97,3 +97,31 @@ def test_fast_bf16_close_to_fp32():
     # amplifies relative drift; 0.995 here corresponds to far tighter
     # correlation at trained-signal magnitudes
     assert corr > 0.995, corr
+
+
+def test_fast_pallas_mrf_path_matches():
+    """Full generator with the fused Pallas MRF stages (interpret mode on
+    CPU) equals the XLA blocked path."""
+    cfg_kwargs = dict(
+        initial_channel=48, resblock="1",
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3, 5),) * 2,
+        upsample_rates=(8, 8, 2, 2), upsample_initial_channel=256,
+        upsample_kernel_sizes=(16, 16, 4, 4))
+    g = Generator(gin_channels=16, **cfg_kwargs)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 12, 48)).astype(np.float32))
+    spk = jnp.asarray(rng.standard_normal((1, 1, 16)).astype(np.float32))
+    params = g.init({"params": KEY}, x, spk)
+
+    def run(use_pallas):
+        return np.asarray(fast_generator_apply(
+            params["params"], x, spk, use_pallas_mrf=use_pallas,
+            resblock=cfg_kwargs["resblock"],
+            resblock_kernel_sizes=cfg_kwargs["resblock_kernel_sizes"],
+            resblock_dilation_sizes=cfg_kwargs["resblock_dilation_sizes"],
+            upsample_rates=cfg_kwargs["upsample_rates"],
+            upsample_initial_channel=cfg_kwargs["upsample_initial_channel"],
+            upsample_kernel_sizes=cfg_kwargs["upsample_kernel_sizes"]))
+
+    np.testing.assert_allclose(run(True), run(False), atol=2e-5)

@@ -182,6 +182,7 @@ def fast_generator_apply(
     upsample_initial_channel: int,
     upsample_kernel_sizes: Sequence[int],
     dtype=None,
+    use_pallas_mrf: Optional[bool] = None,
 ) -> Array:
     """Same function as models.hifigan.Generator, space-to-depth tail.
 
@@ -193,6 +194,15 @@ def fast_generator_apply(
     folding always happens in the params' own precision before the cast.
     """
     num_kernels = len(resblock_kernel_sizes)
+    if use_pallas_mrf is None:
+        # Opt-in: the fused Pallas MRF stage wins measured in isolation on
+        # v5e (stage4 1.4-1.5x f32, ~1.1x bf16) but loses end-to-end
+        # (bench.py: 1570 vs 1860 audio-s/s bf16) — the pallas_call
+        # boundary blocks XLA from fusing the surrounding upsample/bias/
+        # lrelu ops, and the halo re-pad adds an HBM pass per stage. Kept
+        # as an exactness-verified alternative (models/mrf_pallas.py);
+        # the XLA blocked path stays the default.
+        use_pallas_mrf = False
     if dtype is not None:
         x = x.astype(dtype)
         g = g.astype(dtype) if g is not None else None
@@ -230,16 +240,26 @@ def fast_generator_apply(
         else:
             h = _plain_tconv(h, up, u, (k - u) // 2)
 
-        acc = None
-        for j, (rk, rd) in enumerate(
-                zip(resblock_kernel_sizes, resblock_dilation_sizes)):
-            rp = dec_params[f"resblock_{i}_{j}"]
-            if r > 1:
-                out = _blocked_resblock(h, rp, rk, rd, r, resblock)
-            else:
-                out = _std_resblock(h, rp, rk, rd, resblock)
-            acc = out if acc is None else acc + out
-        h = acc / num_kernels
+        if r > 1 and use_pallas_mrf:
+            from wetts_tpu.models.mrf_pallas import mrf_stage_pallas
+
+            h = mrf_stage_pallas(
+                h, [dec_params[f"resblock_{i}_{j}"]
+                    for j in range(num_kernels)],
+                resblock, tuple(resblock_kernel_sizes),
+                tuple(tuple(d) for d in resblock_dilation_sizes), r,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            acc = None
+            for j, (rk, rd) in enumerate(
+                    zip(resblock_kernel_sizes, resblock_dilation_sizes)):
+                rp = dec_params[f"resblock_{i}_{j}"]
+                if r > 1:
+                    out = _blocked_resblock(h, rp, rk, rd, r, resblock)
+                else:
+                    out = _std_resblock(h, rp, rk, rd, resblock)
+                acc = out if acc is None else acc + out
+            h = acc / num_kernels
 
     h = jax.nn.leaky_relu(h, 0.01)  # torch default slope (decoders.py:78)
     post = dec_params["conv_post"]

@@ -177,6 +177,11 @@ class Synthesizer(nn.Module):
 
             return fast_generator_apply(
                 self.dec.variables["params"], z, g,
+                # the fused Pallas MRF stage defines no VJP; this helper
+                # sits on the training path (train/step.py slices decode
+                # under value_and_grad), so pin the differentiable XLA
+                # blocked path regardless of any future default.
+                use_pallas_mrf=False,
                 resblock=self.resblock,
                 resblock_kernel_sizes=self.resblock_kernel_sizes,
                 resblock_dilation_sizes=self.resblock_dilation_sizes,
