@@ -165,15 +165,38 @@ class SynthesisEngine:
         return k
 
     def _synthesize_ids(self, ids: List[int], sid: int) -> np.ndarray:
-        text_pad, max_frames = self._bucket(len(ids))
-        x = np.zeros((1, text_pad), np.int32)
-        x[0, : len(ids)] = ids
+        return self.synthesize_ids_batch([ids], [sid])[0]
+
+    def synthesize_ids_batch(self, ids_list: List[List[int]],
+                             sids: List[int]) -> List[np.ndarray]:
+        """Batched synthesis of padded phone-id sequences.
+
+        Pads the batch dim to a bucket (serving/batcher.py BATCH_BUCKETS)
+        and the text dim to TEXT_BUCKETS so cross-request dynamic batching
+        reuses a small, fixed set of compiled executables — the role
+        Triton's dynamic batcher plays for the reference
+        (gpu_triton config.pbtxt).
+        """
+        from wetts_tpu.serving.batcher import batch_bucket
+
+        n = len(ids_list)
+        b_pad = batch_bucket(n)
+        text_pad, max_frames = self._bucket(max(len(i) for i in ids_list))
+        x = np.zeros((b_pad, text_pad), np.int32)
+        xl = np.ones((b_pad,), np.int32)
+        sid_arr = np.zeros((b_pad,), np.int32)
+        for row, (ids, sid) in enumerate(zip(ids_list, sids)):
+            x[row, : len(ids)] = ids
+            xl[row] = len(ids)
+            sid_arr[row] = sid
+        # jit retraces per batch bucket; the cache key stays (text, frames)
         run = self._infer_fn(text_pad, max_frames)
         audio, y_len, _ = run(
-            jnp.asarray(x), jnp.asarray([len(ids)], jnp.int32),
-            jnp.asarray([sid], jnp.int32), self._next_rng())
-        n = int(y_len[0]) * self.hop
-        return np.asarray(audio[0, :n, 0])
+            jnp.asarray(x), jnp.asarray(xl), jnp.asarray(sid_arr),
+            self._next_rng())
+        y_len = np.asarray(y_len)
+        audio = np.asarray(audio)
+        return [audio[i, : int(y_len[i]) * self.hop, 0] for i in range(n)]
 
     def synthesize(self, text: str, speaker: Optional[str] = None
                    ) -> np.ndarray:

@@ -61,12 +61,29 @@ def wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
 
 
 class TtsServer:
-    def __init__(self, engine, host: str = "0.0.0.0", port: int = 8080):
+    def __init__(self, engine, host: str = "0.0.0.0", port: int = 8080,
+                 batching: bool = False, max_batch: int = 8,
+                 max_delay_s: float = 0.005):
         self.engine = engine
         self.host = host
         self.port = port
         self._lock = threading.Lock()  # one synthesis at a time per chip
         self._httpd = None
+        # cross-request dynamic batching (Triton dynamic_batching analog):
+        # concurrent requests pad into one bucketed executable call
+        self.batcher = None
+        if batching:
+            from wetts_tpu.serving.batcher import DynamicBatcher
+
+            self.batcher = DynamicBatcher(engine, max_batch=max_batch,
+                                          max_delay_s=max_delay_s)
+
+    def _synthesize(self, text: str, name):
+        if self.batcher is not None:
+            # the batcher's dispatcher thread serializes engine calls
+            return self.batcher.synthesize(text, name)
+        with self._lock:
+            return self.engine.synthesize(text, name)
 
     def make_handler(self):
         server = self
@@ -105,8 +122,7 @@ class TtsServer:
                     self._stream(text, name)
                     return
                 try:
-                    with server._lock:
-                        audio = server.engine.synthesize(text, name)
+                    audio = server._synthesize(text, name)
                     wav = wav_bytes(audio, server.engine.sample_rate)
                     self._send_json(200, {
                         "status": "ok",
@@ -151,3 +167,5 @@ class TtsServer:
     def shutdown(self):
         if self._httpd:
             self._httpd.shutdown()
+        if self.batcher is not None:
+            self.batcher.shutdown()
