@@ -25,3 +25,9 @@ jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/tmp/wetts_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# NOTE: the mesh-trainer tests (test_train.py::test_trainer_two_steps_...,
+# test_summary.py::test_trainer_writes_tb) re-invoke themselves in a fresh
+# subprocess — jaxlib 0.9.0's XLA:CPU compiler intermittently segfaults
+# compiling that executable in a long-lived process (tests/isolation.py).

@@ -11,17 +11,24 @@ from wetts_tpu.config import Config
 
 @pytest.fixture(autouse=True)
 def _no_persistent_cache():
-    """jaxlib 0.9.0's CPU backend can segfault when serializing a
+    """jaxlib 0.9.0's CPU backend can segfault/abort when serializing a
     mesh-sharded, donated-buffer executable into the persistent compilation
     cache (compilation_cache.put_executable_and_time) — the Trainer's
     train_step is exactly that shape. Skip persistent-cache writes for
-    these tests; everything else in the suite still caches."""
+    these tests; everything else in the suite still caches.
+
+    The cache object is memoized at first use, so changing the config dir
+    alone is a no-op once any earlier test compiled something —
+    reset_cache() forces the config to be re-read."""
     import jax
+    from jax._src import compilation_cache as cc
 
     old = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
+    cc.reset_cache()
     yield
     jax.config.update("jax_compilation_cache_dir", old)
+    cc.reset_cache()
 
 
 def make_dataset(tmp_path, n=6, sr=8000, hop=64):
@@ -90,12 +97,18 @@ def test_dataset_and_batcher(tmp_path):
 
 
 def test_trainer_two_steps_and_resume(tmp_path):
+    from tests.isolation import run_isolated
+
+    if run_isolated(
+            "tests/test_train.py::test_trainer_two_steps_and_resume"):
+        return
     from wetts_tpu.train.trainer import Trainer
 
     manifest, pt, st = make_dataset(tmp_path)
     cfg = tiny_cfg()
     model_dir = str(tmp_path / "exp")
-    trainer = Trainer(cfg, model_dir, manifest, pt, st, n_devices=2)
+    trainer = Trainer(cfg, model_dir, manifest, pt, st, n_devices=2,
+                      donate=False)
     final = trainer.train(max_steps=2)
     assert final == 2
     metrics = [json.loads(l) for l in
@@ -103,7 +116,8 @@ def test_trainer_two_steps_and_resume(tmp_path):
     assert metrics and np.isfinite(metrics[-1]["loss/g_total"])
 
     # resume picks up from the saved step
-    trainer2 = Trainer(cfg, model_dir, manifest, pt, st, n_devices=2)
+    trainer2 = Trainer(cfg, model_dir, manifest, pt, st, n_devices=2,
+                      donate=False)
     assert trainer2.start_step == 2
     final2 = trainer2.train(max_steps=3)
     assert final2 == 3

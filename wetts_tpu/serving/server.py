@@ -154,13 +154,20 @@ class TtsServer:
 
         return Handler
 
+    def _bind(self):
+        if self._httpd is None:
+            self._httpd = ThreadingHTTPServer((self.host, self.port),
+                                              self.make_handler())
+
     def serve_forever(self):
-        self._httpd = ThreadingHTTPServer((self.host, self.port),
-                                          self.make_handler())
+        self._bind()
         self._httpd.serve_forever()
 
     def start_background(self):
-        t = threading.Thread(target=self.serve_forever, daemon=True)
+        # bind synchronously so the port is accepting before this returns
+        # (a request racing the server thread would get ECONNREFUSED)
+        self._bind()
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         t.start()
         return t
 

@@ -65,6 +65,7 @@ class Trainer:
         val_manifest: Optional[str] = None,
         n_devices: Optional[int] = None,
         slm_model_dir: Optional[str] = None,
+        donate: bool = True,
     ):
         phone_table = read_table(phone_table_path)
         speaker_table = (read_table(speaker_table_path)
@@ -77,6 +78,16 @@ class Trainer:
         self.model_dir = model_dir
         self.logger = get_logger(model_dir)
         self.metrics_path = os.path.join(model_dir, "metrics.jsonl")
+        # TensorBoard scalars/images/audio on rank 0 (reference
+        # train.py:509-581; SummaryWriter(log_dir=hps.model_dir))
+        self.summary = None
+        if jax.process_index() == 0:
+            try:
+                from wetts_tpu.utils.summary import Summary
+
+                self.summary = Summary(os.path.join(model_dir, "tb"))
+            except Exception as e:  # noqa: BLE001 - TB is best-effort
+                self.logger.warning("tensorboard writer unavailable: %s", e)
 
         self.dataset = TTSDataset(train_manifest, phone_table, speaker_table,
                                   cfg.data)
@@ -108,12 +119,16 @@ class Trainer:
         self.start_step = int(state.step)
         self.state = replicate(self.mesh, state)
         repl = NamedSharding(self.mesh, P())
+        # donate=False is an escape hatch for jaxlib 0.9.0's XLA:CPU
+        # compiler, which intermittently crashes compiling the donated
+        # mesh-sharded step (tests/isolation.py); donation stays on for
+        # real (TPU) training, where it halves peak param+opt memory.
         self.train_step = jax.jit(
             make_train_step(cfg, self.net_g, self.net_d, self.net_dur_d,
                             self.tx, self.net_wd, self.slm_feature_fn),
             in_shardings=(repl, NamedSharding(self.mesh, P("data")), repl),
             out_shardings=(repl, repl),
-            donate_argnums=(0,),
+            donate_argnums=(0,) if donate else (),
         )
 
     def _load_slm(self, slm_model_dir: str):
@@ -182,6 +197,10 @@ class Trainer:
         rec.update({k: float(v) for k, v in metrics.items()})
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self.summary is not None:
+            self.summary.scalars(
+                step, {k: v for k, v in rec.items()
+                       if k not in ("step", "epoch")})
         self.logger.info(
             "step %d epoch %d g=%.3f d=%.3f mel=%.3f %.2f steps/s",
             step, epoch, rec.get("loss/g_total", -1),
@@ -252,6 +271,50 @@ class Trainer:
         if n:
             self._log_metrics(step, {k: v / n for k, v in totals.items()},
                               epoch, 0.0)
+        if self.summary is not None:
+            self._log_eval_media(step)
+
+    def _log_eval_media(self, step: int):
+        """Eval audio + generated-mel + alignment images (reference
+        evaluate(), train.py:624-693 + summarize images/audios)."""
+        try:
+            from wetts_tpu.ops.spectral import mel_spectrogram
+            from wetts_tpu.utils.summary import (
+                plot_alignment_to_numpy,
+                plot_spectrogram_to_numpy,
+            )
+
+            item = self.val_dataset.items[0]
+            d = self.cfg.data
+            x = jnp.asarray(item.phone_ids, jnp.int32)[None, :]
+            xl = jnp.asarray([x.shape[1]], jnp.int32)
+            sid = jnp.asarray(
+                [self.val_dataset.speaker_id(item.speaker)], jnp.int32)
+            max_frames = 16 * max(
+                1, self.cfg.train.segment_size // d.hop_length)
+            audio, y_len, attn = self.net_g.apply(
+                {"params": jax.device_get(self.state.params_g)},
+                x, xl, sid, 0.667, 1.0, 0.8, max_frames,
+                method=type(self.net_g).infer,
+                rngs={"noise": jax.random.PRNGKey(0)})
+            n_samples = int(y_len[0]) * d.hop_length
+            wav = np.asarray(audio[0, :n_samples, 0])
+            if wav.size:
+                self.summary.audio(step, "gen/audio", wav, d.sampling_rate)
+                mel = mel_spectrogram(
+                    jnp.asarray(wav)[None, :], d.filter_length,
+                    d.n_mel_channels, d.sampling_rate, d.hop_length,
+                    d.win_length, d.mel_fmin, d.mel_fmax)
+                self.summary.image(
+                    step, "gen/mel",
+                    plot_spectrogram_to_numpy(np.asarray(mel[0]).T))
+                self.summary.image(
+                    step, "gen/alignment",
+                    plot_alignment_to_numpy(
+                        np.asarray(attn[0, : int(y_len[0]), : x.shape[1]])))
+            self.summary.flush()
+        except Exception as e:  # noqa: BLE001 - media logging best-effort
+            self.logger.warning("eval media logging failed: %s", e)
 
     def save(self, step: int):
         if jax.process_index() == 0:
