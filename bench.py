@@ -97,28 +97,59 @@ def main():
     # warmup / compile
     audio, _ = synth(x, xl, sid, jax.random.PRNGKey(1))
     jax.block_until_ready(audio)
+    # XLA's own FLOP count for the compiled executable (for the MFU line)
+    try:
+        cost = synth.lower(
+            x, xl, sid, jax.random.PRNGKey(0)).compile().cost_analysis()
+        flops_per_call = float(cost.get("flops", 0.0))
+    except Exception:  # noqa: BLE001 - cost analysis is best-effort
+        flops_per_call = 0.0
 
     from wetts_tpu.utils.profiling import device_trace
 
     trace = (device_trace(cli.profile) if cli.profile
              else contextlib.nullcontext())
     iters = 10
+    lengths = []
     with trace:
         t0 = time.perf_counter()
         for i in range(iters):
-            audio, _ = synth(x, xl, sid, jax.random.PRNGKey(i))
+            audio, y_lengths = synth(x, xl, sid, jax.random.PRNGKey(i))
+            lengths.append(y_lengths)
         jax.block_until_ready(audio)
         dt = time.perf_counter() - t0
 
-    audio_seconds = iters * B * MAX_FRAMES * hop / sr
+    # honest accounting: audio seconds = sum of TRUE generated lengths
+    # (sum(y_lengths), reference RTF definition inference.py:102), not the
+    # padded MAX_FRAMES decode. The decoder genuinely computes all padded
+    # frames, so the padded figure is reported alongside as a diagnostic.
+    true_frames = float(sum(
+        jnp.sum(jnp.minimum(yl, MAX_FRAMES)) for yl in lengths))
+    audio_seconds = true_frames * hop / sr
+    padded_seconds = iters * B * MAX_FRAMES * hop / sr
     value = audio_seconds / dt
     baseline = 1.0 / 0.15  # reference streaming RTF 0.15 -> 6.67 audio-s/s
-    print(json.dumps({
+
+    # MFU: XLA-counted model FLOPs / wall / chip peak. Peak is looked up
+    # from device_kind (bf16 peak TFLOP/s per chip, public TPU specs);
+    # override with --peak-tflops for unlisted hardware.
+    kind = jax.devices()[0].device_kind.lower()
+    peaks = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
+             "v6e": 918.0, "v6 lite": 918.0}
+    peak = next((v for k, v in peaks.items() if k in kind), None)
+    achieved_tflops = flops_per_call * iters / dt / 1e12
+    out = {
         "metric": "audio_seconds_per_second_per_chip",
         "value": round(value, 2),
         "unit": "audio_s/s",
         "vs_baseline": round(value / baseline, 2),
-    }))
+        "padded_audio_s_per_s": round(padded_seconds / dt, 2),
+        "dtype": cli.dtype,
+        "model_tflops_per_s": round(achieved_tflops, 2),
+    }
+    if peak:
+        out["mfu_pct"] = round(100.0 * achieved_tflops / peak, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -2,6 +2,7 @@
 
 import base64
 import json
+import urllib.parse
 import urllib.request
 
 import jax
@@ -62,6 +63,34 @@ def test_engine_streaming_matches_total_length(engine):
     assert len(pieces) >= 1
     total = np.concatenate(pieces)
     assert total.size % engine.hop == 0
+
+
+def test_long_clause_synthesis(engine):
+    # a long comma-free clause must not overflow the text buckets
+    # (reference forces splits at 32 chars, sentence_break.h:27); with
+    # raw-phone input the ids themselves are split instead of raising
+    long_text = "a b c " * 200  # 600 phones, no clause delimiters
+    audio = engine.synthesize(long_text)
+    assert audio.size > 0 and np.isfinite(audio).all()
+    # oversized batches are split into bucket-sized sub-batches
+    audios = engine.synthesize_ids_batch([[1, 2, 3]] * 10, [0] * 10)
+    assert len(audios) == 10
+
+
+def test_long_clause_through_server(engine):
+    from wetts_tpu.serving.server import TtsServer
+
+    server = TtsServer(engine, host="127.0.0.1", port=18125)
+    server.start_background()
+    try:
+        text = urllib.parse.quote("a b c " * 170)  # >1000 chars, no commas
+        url = f"http://127.0.0.1:18125/?text={text}"
+        with urllib.request.urlopen(url, timeout=120) as resp:
+            payload = json.loads(resp.read())
+        assert payload["status"] == "ok"
+        assert base64.b64decode(payload["audio"])[:4] == b"RIFF"
+    finally:
+        server.shutdown()
 
 
 def test_http_server(engine):

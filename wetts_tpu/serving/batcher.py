@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import List, Optional, Sequence
 
@@ -51,6 +52,8 @@ class DynamicBatcher:
         self._thread.start()
 
     def submit(self, ids: Sequence[int], sid: int) -> Future:
+        if self._stop.is_set():
+            raise RuntimeError("batcher shut down")
         fut: Future = Future()
         self._queue.put((list(ids), sid, fut))
         return fut
@@ -58,11 +61,12 @@ class DynamicBatcher:
     def synthesize(self, text: str, speaker: Optional[str] = None
                    ) -> np.ndarray:
         """Drop-in for engine.synthesize, routed through the batcher."""
+        from wetts_tpu.serving.engine import MAX_CLAUSE_LEN
         from wetts_tpu.text.segmenter import sentence_segment
 
         sid = self.engine.speaker_id(speaker)
         futures = []
-        for sentence in sentence_segment(text) or [text]:
+        for sentence in sentence_segment(text, MAX_CLAUSE_LEN) or [text]:
             ids = self.engine.text_to_phone_ids(sentence)
             if ids:
                 futures.append(self.submit(ids, sid))
@@ -75,6 +79,15 @@ class DynamicBatcher:
         self._stop.set()
         self._queue.put(None)
         self._thread.join(timeout=5)
+        # fail any requests still queued (or racing the shutdown) so their
+        # callers don't block forever in fut.result()
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[2].done():
+                item[2].set_exception(RuntimeError("batcher shut down"))
 
     # -- dispatcher ------------------------------------------------------
 
@@ -84,12 +97,16 @@ class DynamicBatcher:
             if item is None:
                 continue
             batch = [item]
-            # linger briefly for co-arriving requests (Triton's
-            # max_queue_delay semantics)
-            deadline = self.max_delay_s
+            # linger for co-arriving requests: one fixed window starting at
+            # first-item arrival (Triton's max_queue_delay semantics), NOT
+            # restarted per dequeued item
+            deadline = time.monotonic() + self.max_delay_s
             while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    nxt = self._queue.get(timeout=deadline)
+                    nxt = self._queue.get(timeout=remaining)
                 except queue.Empty:
                     break
                 if nxt is None:
@@ -104,3 +121,11 @@ class DynamicBatcher:
                 for (_, _, fut) in batch:
                     if not fut.done():
                         fut.set_exception(e)
+        # drain anything enqueued between the last get and _stop
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[2].done():
+                item[2].set_exception(RuntimeError("batcher shut down"))

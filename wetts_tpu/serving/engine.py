@@ -17,6 +17,7 @@ bucket; compiled executables are cached on the instance.
 from __future__ import annotations
 
 import logging
+import threading
 from functools import partial
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -40,6 +41,9 @@ logger = logging.getLogger("wetts_tpu.serving")
 # (text_pad, max_frames) buckets: compile once per bucket
 TEXT_BUCKETS = (32, 64, 128, 192)
 FRAMES_PER_TEXT = 12  # generous upper bound on frames per phone
+# forced clause split length, in characters (sentence_break.h:27 default);
+# keeps any single clause's phone count well inside TEXT_BUCKETS[-1]
+MAX_CLAUSE_LEN = 32
 
 
 class SynthesisEngine:
@@ -70,6 +74,12 @@ class SynthesisEngine:
         self._infer_cache = {}
         self._encode_cache = {}
         self._decode_cache = {}
+        # engine-level lock: one synthesis at a time per chip, and a single
+        # guard for the shared mutable state (_rng, jit caches, stage_times,
+        # frontend) now that the server's DynamicBatcher dispatcher thread
+        # and /stream handler threads can call in concurrently. Reentrant so
+        # synthesize -> synthesize_ids_batch nests.
+        self.lock = threading.RLock()
         # per-stage latency accumulator (reference logs synth time via a
         # C++ Timer, http_server.cc:87-94; per-stage prints models.py:242-279)
         self.stage_times = StageTimes()
@@ -116,8 +126,9 @@ class SynthesisEngine:
             # raw phone-sequence input (already space-separated phones)
             phonemes = text.split()
         else:
-            norm = self.frontend.normalize(text)
-            phonemes = self.frontend.compute(norm)
+            with self.lock:  # frontend thread-safety is not guaranteed
+                norm = self.frontend.normalize(text)
+                phonemes = self.frontend.compute(norm)
         if not phonemes:
             return []
         ids = [self.phone2id["sil"]] if "sil" in self.phone2id else []
@@ -177,33 +188,63 @@ class SynthesisEngine:
         Triton's dynamic batcher plays for the reference
         (gpu_triton config.pbtxt).
         """
-        from wetts_tpu.serving.batcher import batch_bucket
+        from wetts_tpu.serving.batcher import BATCH_BUCKETS, batch_bucket
 
-        n = len(ids_list)
-        b_pad = batch_bucket(n)
-        text_pad, max_frames = self._bucket(max(len(i) for i in ids_list))
-        x = np.zeros((b_pad, text_pad), np.int32)
-        xl = np.ones((b_pad,), np.int32)
-        sid_arr = np.zeros((b_pad,), np.int32)
-        for row, (ids, sid) in enumerate(zip(ids_list, sids)):
-            x[row, : len(ids)] = ids
-            xl[row] = len(ids)
-            sid_arr[row] = sid
-        # jit retraces per batch bucket; the cache key stays (text, frames)
-        run = self._infer_fn(text_pad, max_frames)
-        audio, y_len, _ = run(
-            jnp.asarray(x), jnp.asarray(xl), jnp.asarray(sid_arr),
-            self._next_rng())
-        y_len = np.asarray(y_len)
-        audio = np.asarray(audio)
-        return [audio[i, : int(y_len[i]) * self.hop, 0] for i in range(n)]
+        with self.lock:
+            n = len(ids_list)
+            if n > BATCH_BUCKETS[-1]:
+                # split oversized batches into bucket-sized sub-batches
+                out: List[np.ndarray] = []
+                for lo in range(0, n, BATCH_BUCKETS[-1]):
+                    out.extend(self.synthesize_ids_batch(
+                        ids_list[lo: lo + BATCH_BUCKETS[-1]],
+                        sids[lo: lo + BATCH_BUCKETS[-1]]))
+                return out
+            # a clause whose phone count overflows the largest text bucket
+            # (possible with frontend-less raw-phone input) is synthesized
+            # in TEXT_BUCKETS[-1]-sized pieces and concatenated rather than
+            # raising (the normal text path never gets here: clauses are
+            # force-split at MAX_CLAUSE_LEN characters upstream)
+            cap = TEXT_BUCKETS[-1]
+            if max(len(i) for i in ids_list) > cap:
+                out = []
+                for ids, sid in zip(ids_list, sids):
+                    if len(ids) <= cap:
+                        out.append(self.synthesize_ids_batch([ids],
+                                                             [sid])[0])
+                    else:
+                        parts = [ids[lo: lo + cap]
+                                 for lo in range(0, len(ids), cap)]
+                        pieces = self.synthesize_ids_batch(
+                            parts, [sid] * len(parts))
+                        out.append(np.concatenate(pieces))
+                return out
+            b_pad = batch_bucket(n)
+            text_pad, max_frames = self._bucket(
+                max(len(i) for i in ids_list))
+            x = np.zeros((b_pad, text_pad), np.int32)
+            xl = np.ones((b_pad,), np.int32)
+            sid_arr = np.zeros((b_pad,), np.int32)
+            for row, (ids, sid) in enumerate(zip(ids_list, sids)):
+                x[row, : len(ids)] = ids
+                xl[row] = len(ids)
+                sid_arr[row] = sid
+            # jit retraces per batch bucket; cache key stays (text, frames)
+            run = self._infer_fn(text_pad, max_frames)
+            audio, y_len, _ = run(
+                jnp.asarray(x), jnp.asarray(xl), jnp.asarray(sid_arr),
+                self._next_rng())
+            y_len = np.asarray(y_len)
+            audio = np.asarray(audio)
+            return [audio[i, : int(y_len[i]) * self.hop, 0]
+                    for i in range(n)]
 
     def synthesize(self, text: str, speaker: Optional[str] = None
                    ) -> np.ndarray:
         """Full text -> float32 waveform (tts.cc Synthesis semantics)."""
         sid = self.speaker_id(speaker)
         pieces = []
-        for sentence in sentence_segment(text) or [text]:
+        for sentence in sentence_segment(text, MAX_CLAUSE_LEN) or [text]:
             with self.stage_times.stage("frontend"):
                 ids = self.text_to_phone_ids(sentence)
             if not ids:
@@ -278,13 +319,22 @@ class SynthesisEngine:
         block: int = DEFAULT_BLOCK,
         pad: int = DEFAULT_PAD,
     ) -> Iterator[np.ndarray]:
-        """Yield audio chunks incrementally (StreamSynthesis semantics)."""
+        """Yield audio chunks incrementally (StreamSynthesis semantics).
+
+        Holds the engine lock for the lifetime of the generator (one
+        streaming synthesis at a time per chip, matching the previous
+        server-level serialization)."""
+        with self.lock:
+            yield from self._stream_synthesize(text, speaker, block, pad)
+
+    def _stream_synthesize(self, text, speaker, block, pad):
         sid = self.speaker_id(speaker)
-        for sentence in sentence_segment(text) or [text]:
+        for sentence in sentence_segment(text, MAX_CLAUSE_LEN) or [text]:
             with self.stage_times.stage("frontend"):
                 ids = self.text_to_phone_ids(sentence)
             if not ids:
                 continue  # skip failed segments (tts.cc:104-120)
+            ids = ids[: TEXT_BUCKETS[-1]]  # overflow guard (raw-phone input)
             text_pad, max_frames = self._bucket(len(ids))
             x = np.zeros((1, text_pad), np.int32)
             x[0, : len(ids)] = ids

@@ -67,7 +67,12 @@ class TtsServer:
         self.engine = engine
         self.host = host
         self.port = port
-        self._lock = threading.Lock()  # one synthesis at a time per chip
+        # serialization lives in the engine (engine.lock, reentrant): the
+        # batcher dispatcher thread, /stream handlers, and plain handlers
+        # all funnel through it, so concurrent paths can't race on the
+        # engine's rng / jit caches / frontend
+        self._lock = engine.lock if hasattr(engine, "lock") \
+            else threading.RLock()
         self._httpd = None
         # cross-request dynamic batching (Triton dynamic_batching analog):
         # concurrent requests pad into one bucketed executable call

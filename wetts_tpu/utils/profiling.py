@@ -14,8 +14,13 @@ from __future__ import annotations
 
 import contextlib
 import time
-from collections import defaultdict
-from typing import Dict, Iterator, List
+from collections import defaultdict, deque
+from typing import Deque, Dict, Iterator
+
+# Per-stage history bound: a long-running server records stage times per
+# request; an unbounded list would leak memory proportional to request
+# count. 4096 observations keep p99 meaningful while capping memory.
+MAX_OBSERVATIONS = 4096
 
 
 class Timer:
@@ -43,8 +48,9 @@ class StageTimes:
     not just means.
     """
 
-    def __init__(self):
-        self._times: Dict[str, List[float]] = defaultdict(list)
+    def __init__(self, maxlen: int = MAX_OBSERVATIONS):
+        self._times: Dict[str, Deque[float]] = defaultdict(
+            lambda: deque(maxlen=maxlen))
 
     @contextlib.contextmanager
     def stage(self, name: str) -> Iterator[None]:
@@ -56,6 +62,9 @@ class StageTimes:
 
     def add(self, name: str, seconds: float) -> None:
         self._times[name].append(seconds)
+
+    def reset(self) -> None:
+        self._times.clear()
 
     def percentile(self, name: str, q: float) -> float:
         xs = sorted(self._times.get(name, ()))
