@@ -118,7 +118,8 @@ def make_half_apply(enabled: bool):
 
 
 def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
-                    net_wd=None, slm_feature_fn=None):
+                    net_wd=None, slm_feature_fn=None,
+                    use_fast_decoder: Optional[bool] = None):
     """Returns train_step(state, batch_dict, rng) -> (state, metrics).
 
     net_wd / slm_feature_fn: the WavLM (SLM) discriminator branch
@@ -126,6 +127,11 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
     [B, T, 1] -> stacked hidden features [B, T', slm_hidden * slm_layers]
     (a frozen WavLM; injectable so precomputed/ported extractors both work).
     The branch is skipped when either is None.
+
+    use_fast_decoder: None (default) uses the space-to-depth decoder for
+    hifigan configs (fastest on TPU); False forces the plain decoder —
+    useful where XLA:CPU compile time matters more than step time
+    (virtual-device dryruns, CI).
     """
     d = cfg.data
     t = cfg.train
@@ -135,7 +141,8 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
     use_wd = net_wd is not None and slm_feature_fn is not None
     if m.vocoder_type == "hifigan":
         # space-to-depth decoder (exact-equal; models/hifigan_fast.py)
-        net_g = net_g.clone(use_fast_decoder=True)
+        net_g = net_g.clone(use_fast_decoder=(
+            True if use_fast_decoder is None else use_fast_decoder))
     half_apply = make_half_apply(t.fp16_run or t.bf16_run)
 
     def g_forward(params_g, batch, rngs, mas_noise_scale):

@@ -66,6 +66,7 @@ class Trainer:
         n_devices: Optional[int] = None,
         slm_model_dir: Optional[str] = None,
         donate: bool = True,
+        use_fast_decoder: Optional[bool] = None,
     ):
         phone_table = read_table(phone_table_path)
         speaker_table = (read_table(speaker_table_path)
@@ -125,7 +126,8 @@ class Trainer:
         # real (TPU) training, where it halves peak param+opt memory.
         self.train_step = jax.jit(
             make_train_step(cfg, self.net_g, self.net_d, self.net_dur_d,
-                            self.tx, self.net_wd, self.slm_feature_fn),
+                            self.tx, self.net_wd, self.slm_feature_fn,
+                            use_fast_decoder=use_fast_decoder),
             in_shardings=(repl, NamedSharding(self.mesh, P("data")), repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,) if donate else (),
