@@ -48,7 +48,8 @@ def test_trainer_writes_tb(tmp_path):
     cfg.train.eval_interval = 2
     model_dir = str(tmp_path / "exp")
     trainer = Trainer(cfg, model_dir, manifest, pt, st,
-                      val_manifest=manifest, n_devices=2, donate=False)
+                      val_manifest=manifest, n_devices=2, donate=False,
+                      use_fast_decoder=False)
     trainer.train(max_steps=2)
     tb_dir = os.path.join(model_dir, "tb")
     assert os.path.isdir(tb_dir) and os.listdir(tb_dir)

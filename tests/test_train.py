@@ -31,7 +31,7 @@ def _no_persistent_cache():
     cc.reset_cache()
 
 
-def make_dataset(tmp_path, n=6, sr=8000, hop=64):
+def make_dataset(tmp_path, n=6, sr=8000, hop=16):
     """Synthetic sine-wave corpus + manifest + tables."""
     wav_dir = tmp_path / "wavs"
     wav_dir.mkdir(exist_ok=True)
@@ -58,18 +58,24 @@ def make_dataset(tmp_path, n=6, sr=8000, hop=64):
 
 
 def tiny_cfg():
+    """Smallest config that exercises every train-step code path.
+
+    Sized for XLA:CPU compile cost on a 2-vCPU CI host: 2 upsample stages
+    (not the production 4) keep the full GAN step's compile under ~2 min —
+    the r1 4-stage version took 19+ min and tripped a jaxlib 0.9.0 abort
+    (see tests/isolation.py)."""
     return Config.from_dict({
-        "train": {"segment_size": 512, "batch_size": 2, "log_interval": 1,
+        "train": {"segment_size": 256, "batch_size": 2, "log_interval": 1,
                   "eval_interval": 1000, "epochs": 10000},
-        "data": {"filter_length": 128, "hop_length": 64, "win_length": 128,
+        "data": {"filter_length": 128, "hop_length": 16, "win_length": 128,
                  "sampling_rate": 8000, "n_mel_channels": 20},
         "model": {
             "inter_channels": 16, "hidden_channels": 16,
             "filter_channels": 32, "n_heads": 2, "n_layers": 1,
             "kernel_size": 3, "p_dropout": 0.1, "resblock": "2",
             "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 3]],
-            "upsample_rates": [4, 4, 2, 2], "upsample_initial_channel": 32,
-            "upsample_kernel_sizes": [8, 8, 4, 4], "gin_channels": 8,
+            "upsample_rates": [4, 4], "upsample_initial_channel": 32,
+            "upsample_kernel_sizes": [8, 8], "gin_channels": 8,
         },
     })
 
@@ -108,7 +114,7 @@ def test_trainer_two_steps_and_resume(tmp_path):
     cfg = tiny_cfg()
     model_dir = str(tmp_path / "exp")
     trainer = Trainer(cfg, model_dir, manifest, pt, st, n_devices=2,
-                      donate=False)
+                      donate=False, use_fast_decoder=False)
     final = trainer.train(max_steps=2)
     assert final == 2
     metrics = [json.loads(l) for l in
@@ -117,7 +123,7 @@ def test_trainer_two_steps_and_resume(tmp_path):
 
     # resume picks up from the saved step
     trainer2 = Trainer(cfg, model_dir, manifest, pt, st, n_devices=2,
-                      donate=False)
+                      donate=False, use_fast_decoder=False)
     assert trainer2.start_step == 2
     final2 = trainer2.train(max_steps=3)
     assert final2 == 3

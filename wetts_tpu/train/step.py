@@ -93,28 +93,45 @@ def _cast_floats(tree, dtype):
     return jax.tree.map(cast, tree)
 
 
-def make_half_apply(enabled: bool):
-    """Mixed-precision wrapper around `module.apply` (reference AMP,
-    train.py:310,390,436-507).
+def make_half_fns(enabled: bool):
+    """Mixed-precision helpers (reference AMP, train.py:310,390,436-507).
 
     TPU-first delta: the reference uses fp16 autocast + GradScaler; on TPU
     the native half type is bfloat16, whose fp32-sized exponent makes loss
-    scaling unnecessary. Params and float inputs are cast to bf16 for the
-    apply (so matmuls/convs hit the MXU at 2x rate), outputs are cast back
-    to fp32, and the master params / optimizer state stay fp32 — casting
-    inside the loss fn makes the grads come out fp32 automatically.
+    scaling unnecessary.
+
+    Design (round 2): each param tree is cast to bf16 ONCE per step,
+    OUTSIDE the grad closures; gradients are taken with respect to the
+    bf16 trees and converted back to fp32 for the (fp32 master-param)
+    optimizer update. The round-1 version re-cast the full param tree
+    inside every `apply` — the generator is applied twice per step and
+    the casts were differentiated through in the G pass, making bf16
+    measurably SLOWER than fp32 (cast-bound).
+
+    Returns (cast_half, to_f32, half_apply):
+    - cast_half(tree): float leaves -> bf16 (identity when disabled),
+    - to_f32(tree):    float leaves -> fp32 (identity when disabled),
+    - half_apply(module, params, *args, **kw): apply with bf16 inputs and
+      fp32 outputs; `params` must already be cast (so matmuls/convs hit
+      the MXU at 2x rate while losses accumulate in fp32).
     """
     if not enabled:
         def apply(module, params, *args, **kwargs):
             return module.apply({"params": params}, *args, **kwargs)
-        return apply
+        return (lambda t: t), (lambda t: t), apply
+
+    def cast_half(tree):
+        return _cast_floats(tree, jnp.bfloat16)
+
+    def to_f32(tree):
+        return _cast_floats(tree, jnp.float32)
 
     def apply(module, params, *args, **kwargs):
-        params_h = _cast_floats(params, jnp.bfloat16)
-        args_h = _cast_floats(args, jnp.bfloat16)
-        out = module.apply({"params": params_h}, *args_h, **kwargs)
+        out = module.apply({"params": params},
+                           *_cast_floats(args, jnp.bfloat16), **kwargs)
         return _cast_floats(out, jnp.float32)
-    return apply
+
+    return cast_half, to_f32, apply
 
 
 def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
@@ -143,7 +160,7 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
         # space-to-depth decoder (exact-equal; models/hifigan_fast.py)
         net_g = net_g.clone(use_fast_decoder=(
             True if use_fast_decoder is None else use_fast_decoder))
-    half_apply = make_half_apply(t.fp16_run or t.bf16_run)
+    cast_half, to_f32, half_apply = make_half_fns(t.fp16_run or t.bf16_run)
 
     def g_forward(params_g, batch, rngs, mas_noise_scale):
         return half_apply(
@@ -169,21 +186,29 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
         else:
             mas_noise_scale = 0.0
 
+        # bf16 trees are derived ONCE per step here, outside the grad
+        # closures; grads come out bf16 and are converted for the fp32
+        # master-param optimizer updates (make_half_fns docstring)
+        params_g_h = cast_half(state.params_g)
+
         # ---- generator forward (no grad) for the discriminator updates ----
         out = jax.lax.stop_gradient(
-            g_forward(state.params_g, batch, rngs, mas_noise_scale))
+            g_forward(params_g_h, batch, rngs, mas_noise_scale))
         y_hat = out["audio"]  # [B, seg_samples, 1]
         ids_slice = out["ids_slice"]
         y_slice = slice_segments(
             wav[:, :, None], ids_slice * d.hop_length, t.segment_size)
 
         # ---- discriminator update ----
-        def d_loss_fn(params_d):
-            y_d_r, y_d_g, _, _ = half_apply(net_d, params_d, y_slice, y_hat)
+        def d_loss_fn(params_d_h):
+            y_d_r, y_d_g, _, _ = half_apply(net_d, params_d_h, y_slice,
+                                            y_hat)
             loss_disc, _, _ = discriminator_loss(y_d_r, y_d_g)
             return loss_disc
 
-        loss_disc, grads_d = jax.value_and_grad(d_loss_fn)(state.params_d)
+        loss_disc, grads_d = jax.value_and_grad(d_loss_fn)(
+            cast_half(state.params_d))
+        grads_d = to_f32(grads_d)
         updates_d, opt_d = tx.update(grads_d, state.opt_d, state.params_d)
         params_d = optax.apply_updates(state.params_d, updates_d)
 
@@ -191,17 +216,17 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
         metrics = {}
         params_dur_d, opt_dur_d = state.params_dur_d, state.opt_dur_d
         if net_dur_d is not None:
-            def dur_d_loss_fn(p):
+            def dur_d_loss_fn(p_h):
                 probs = half_apply(
-                    net_dur_d, p, out["x_hidden"], out["x_mask"],
+                    net_dur_d, p_h, out["x_hidden"], out["x_mask"],
                     out["logw_"], out["logw"])
                 loss, _, _ = discriminator_loss([probs[0]], [probs[1]])
                 return loss
 
             loss_dur_disc, grads_dd = jax.value_and_grad(dur_d_loss_fn)(
-                state.params_dur_d)
+                cast_half(state.params_dur_d))
             updates_dd, opt_dur_d = tx.update(
-                grads_dd, state.opt_dur_d, state.params_dur_d)
+                to_f32(grads_dd), state.opt_dur_d, state.params_dur_d)
             params_dur_d = optax.apply_updates(state.params_dur_d, updates_dd)
             metrics["loss/dur_disc"] = loss_dur_disc
 
@@ -211,15 +236,15 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
             feat_real = jax.lax.stop_gradient(slm_feature_fn(y_slice))
             feat_fake = jax.lax.stop_gradient(slm_feature_fn(y_hat))
 
-            def wd_loss_fn(p):
-                d_r = half_apply(net_wd, p, feat_real)
-                d_g = half_apply(net_wd, p, feat_fake)
+            def wd_loss_fn(p_h):
+                d_r = half_apply(net_wd, p_h, feat_real)
+                d_g = half_apply(net_wd, p_h, feat_fake)
                 loss, _, _ = discriminator_loss([d_r], [d_g])
                 return loss
 
             loss_slm, grads_wd = jax.value_and_grad(wd_loss_fn)(
-                state.params_wd)
-            updates_wd, opt_wd = tx.update(grads_wd, state.opt_wd,
+                cast_half(state.params_wd))
+            updates_wd, opt_wd = tx.update(to_f32(grads_wd), state.opt_wd,
                                            state.params_wd)
             params_wd = optax.apply_updates(state.params_wd, updates_wd)
             metrics["loss/slm_disc"] = loss_slm
@@ -230,6 +255,13 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
         else:
             mel = spec_to_mel(spec, d.filter_length, d.n_mel_channels,
                               d.sampling_rate, d.mel_fmin, d.mel_fmax)
+
+        # updated discriminators as seen by the G pass (reference steps
+        # optim_d before the G pass); cast once outside the closure — no
+        # grads flow to them here
+        params_d_h = cast_half(params_d)
+        params_dur_d_h = cast_half(params_dur_d)
+        params_wd_h = cast_half(params_wd) if use_wd else None
 
         def g_loss_fn(params_g):
             o = g_forward(params_g, batch, rngs, mas_noise_scale)
@@ -244,7 +276,7 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
                 t.segment_size)
 
             y_d_r, y_d_g, fmap_r, fmap_g = half_apply(
-                net_d, params_d, y_r_slice, y_hat_g)
+                net_d, params_d_h, y_r_slice, y_hat_g)
             loss_dur = jnp.sum(o["l_length"].astype(jnp.float32))
             loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * t.c_mel
             loss_kl = kl_loss(o["z_p"], o["logs_q"], o["m_p"], o["logs_p"],
@@ -257,7 +289,7 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
                    "loss/kl": loss_kl}
             if net_dur_d is not None:
                 probs = half_apply(
-                    net_dur_d, params_dur_d, o["x_hidden"], o["x_mask"],
+                    net_dur_d, params_dur_d_h, o["x_hidden"], o["x_mask"],
                     o["logw_"], o["logw"])
                 loss_dur_gen, _ = generator_loss([probs[1]])
                 total = total + loss_dur_gen
@@ -267,7 +299,7 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
                 f_real = jax.lax.stop_gradient(slm_feature_fn(y_r_slice))
                 f_fake = slm_feature_fn(y_hat_g)
                 loss_lm = jnp.mean(jnp.abs(f_real - f_fake))
-                d_g = half_apply(net_wd, params_wd, f_fake)
+                d_g = half_apply(net_wd, params_wd_h, f_fake)
                 loss_lm_gen, _ = generator_loss([d_g])
                 total = total + loss_lm + loss_lm_gen
                 aux["loss/slm_feat"] = loss_lm
@@ -275,7 +307,8 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
             return total, aux
 
         (loss_gen_all, aux), grads_g = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.params_g)
+            g_loss_fn, has_aux=True)(params_g_h)
+        grads_g = to_f32(grads_g)
         updates_g, opt_g = tx.update(grads_g, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, updates_g)
 

@@ -330,3 +330,82 @@ def convert_synthesizer(state_dict: Dict[str, np.ndarray], cfg) -> Dict:
         raise ValueError(f"unmapped reference tensors: {leftovers[:10]}"
                          f" (+{max(0, len(leftovers) - 10)} more)")
     return m.params
+
+
+def convert_discriminator(state_dict: Dict[str, np.ndarray],
+                          use_mrd: bool = False,
+                          periods=(2, 3, 5, 7, 11),
+                          fft_sizes=(2048, 1024, 512)) -> Dict:
+    """Reference MultiPeriodDiscriminator / MultiPeriodMultiResolution-
+    Discriminator state_dict -> flax params (D_*.pth `model` entry,
+    discriminators.py:228-283)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    m = _Mapper()
+    idx = 0
+    if use_mrd:
+        for w in fft_sizes:
+            base = f"discriminators.{idx}"
+            path = (f"disc_r_{w}",)
+            for bi in range(5):
+                for i in range(5):
+                    m.conv2d(f"{base}.band_convs.{bi}.{i}", sd,
+                             path + (f"band{bi}_conv{i}",))
+            m.conv2d(f"{base}.conv_post", sd, path + ("conv_post",))
+            idx += 1
+    else:
+        base = f"discriminators.{idx}"
+        for i in range(6):
+            m.conv1d(f"{base}.convs.{i}", sd, ("disc_s", f"conv_{i}"),
+                     wn=True)
+        m.conv1d(f"{base}.conv_post", sd, ("disc_s", "conv_post"), wn=True)
+        idx += 1
+    for p in periods:
+        base = f"discriminators.{idx}"
+        path = (f"disc_p_{p}",)
+        for i in range(5):
+            m.conv2d(f"{base}.convs.{i}", sd, path + (f"conv_{i}",))
+        m.conv2d(f"{base}.conv_post", sd, path + ("conv_post",))
+        idx += 1
+    leftovers = list(sd)
+    if leftovers:
+        raise ValueError(f"unmapped discriminator tensors: {leftovers[:10]}")
+    return m.params
+
+
+def convert_duration_discriminator(state_dict: Dict[str, np.ndarray],
+                                   dtype: str = "dur_disc_1") -> Dict:
+    """Reference DurationDiscriminatorV1/V2 state_dict -> flax params
+    (DUR_*.pth `model` entry, discriminators.py:287-449). V1 carries
+    pre_out_norm_* parameters that its forward never uses — dropped."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    m = _Mapper()
+    for name in ("conv_1", "conv_2", "dur_proj",
+                 "pre_out_conv_1", "pre_out_conv_2"):
+        m.conv1d(name, sd, (name,))
+    if dtype == "dur_disc_2":
+        for name in ("norm_1", "norm_2", "pre_out_norm_1", "pre_out_norm_2"):
+            m.layer_norm(name, sd, (name,))
+    else:
+        for name in ("pre_out_norm_1", "pre_out_norm_2"):
+            sd.pop(f"{name}.gamma", None)
+            sd.pop(f"{name}.beta", None)
+    m.linear("output_layer.0", sd, ("output_layer",))
+    leftovers = list(sd)
+    if leftovers:
+        raise ValueError(f"unmapped durdisc tensors: {leftovers[:10]}")
+    return m.params
+
+
+def convert_wavlm_discriminator(state_dict: Dict[str, np.ndarray]) -> Dict:
+    """Reference WavLMDiscriminator state_dict -> flax params
+    (WD_*.pth `model` entry, discriminators.py:452-498)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    m = _Mapper()
+    m.conv1d("pre", sd, ("pre",), wn=True)
+    for i in range(3):
+        m.conv1d(f"convs.{i}", sd, (f"conv_{i}",), wn=True)
+    m.conv1d("conv_post", sd, ("conv_post",), wn=True)
+    leftovers = list(sd)
+    if leftovers:
+        raise ValueError(f"unmapped wavlm-disc tensors: {leftovers[:10]}")
+    return m.params
