@@ -63,6 +63,12 @@ def build_pair(cfg, seed=0):
         use_transformer_flows=mc.use_transformer_flows,
         transformer_flow_type=mc.transformer_flow_type,
         use_spk_conditioned_encoder=mc.use_spk_conditioned_encoder,
+        vocoder_type=mc.vocoder_type,
+        vocos_channels=mc.vocos_channels,
+        vocos_h_channels=mc.vocos_h_channels,
+        vocos_out_channels=mc.vocos_out_channels,
+        vocos_num_layers=mc.vocos_num_layers,
+        vocos_istft_config=dict(mc.vocos_istft_config, center=True),
     )
     tmodel = ref_models.SynthesizerTrn(**kwargs)
     tmodel.eval()
@@ -105,6 +111,13 @@ def infer_pair(cfg, tmodel, jmodel, variables, seed=1):
      "gin_channels": 0},
     {"use_transformer_flows": True,
      "transformer_flow_type": "mono_layer_post_residual"},
+    # Vocos decoder e2e (published-baseline configuration family;
+    # reference decoders.py:221-308): istft geometry scaled to the test
+    # hop (n_fft 64 / hop 16), out_channels = 2 * (64 // 2 + 1)
+    {"vocoder_type": "vocos", "vocos_channels": 32, "vocos_h_channels": 64,
+     "vocos_out_channels": 66, "vocos_num_layers": 2,
+     "vocos_istft_config": {"n_fft": 64, "hop_length": 16,
+                            "win_length": 64}},
 ])
 def test_infer_parity(overrides):
     cfg = small_cfg(**overrides)
