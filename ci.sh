@@ -9,7 +9,7 @@ echo "== lint (compile check) =="
 python -m compileall -q wetts_tpu tools bench.py __graft_entry__.py
 
 echo "== native build + tests =="
-cmake -B native/build native -G Ninja >/dev/null
+cmake -B native/build native -G Ninja -DWETTS_BUILD_JNI=ON >/dev/null
 cmake --build native/build >/dev/null
 ./native/build/text_frontend_test
 ./native/build/wav_test
