@@ -81,8 +81,16 @@ class G2pEn {
  private:
   void Spell(const std::string& word,
              std::vector<std::string>* phones) const;
+  // fewest-pieces split into dictionary words (>= 3 chars each); empty
+  // result means no full split exists (phonetisaurus-FST role, twin of
+  // wetts_tpu/text/g2p_en.py::_compound_split)
+  std::vector<std::string> CompoundSplit(const std::string& word) const;
   std::unordered_map<std::string, std::vector<std::string>> dict_;
 };
+
+// rule-based whole-word pronunciation for OOV words (ARPAbet); twin of
+// wetts_tpu/text/g2p_en.py::letter_to_sound
+std::vector<std::string> LetterToSound(const std::string& word);
 
 }  // namespace wetts
 

@@ -7,6 +7,8 @@
 #include <fstream>
 #include <sstream>
 #include <stdexcept>
+#include <unordered_set>
+#include <utility>
 
 namespace wetts {
 
@@ -294,6 +296,171 @@ void G2pEn::Spell(const std::string& word,
   }
 }
 
+namespace {
+
+bool IsVowelPhone(const std::string& p) {
+  static const std::unordered_set<std::string> kVowels = {
+      "AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER", "EY",
+      "IH", "IY", "OW", "OY", "UH", "UW"};
+  return kVowels.count(p) > 0;
+}
+
+// ordered letter-to-sound rules, longest-match first (twin of the Python
+// _LTS_MULTI table — keep the two in sync; tests/test_native_text.py
+// asserts convert() parity through them)
+const std::vector<std::pair<std::string, std::vector<std::string>>>&
+LtsMulti() {
+  static const std::vector<std::pair<std::string, std::vector<std::string>>>
+      kRules = {
+          {"tion", {"SH", "AH", "N"}}, {"sion", {"ZH", "AH", "N"}},
+          {"ould", {"UH", "D"}},       {"ough", {"OW"}},
+          {"augh", {"AO"}},            {"eigh", {"EY"}},
+          {"igh", {"AY"}},             {"tch", {"CH"}},
+          {"dge", {"JH"}},             {"sch", {"S", "K"}},
+          {"ing", {"IH", "NG"}},       {"ck", {"K"}},
+          {"ch", {"CH"}},              {"sh", {"SH"}},
+          {"th", {"TH"}},              {"ph", {"F"}},
+          {"wh", {"W"}},               {"ng", {"NG"}},
+          {"qu", {"K", "W"}},          {"ee", {"IY"}},
+          {"ea", {"IY"}},              {"oo", {"UW"}},
+          {"ou", {"AW"}},              {"ow", {"OW"}},
+          {"ai", {"EY"}},              {"ay", {"EY"}},
+          {"oa", {"OW"}},              {"oi", {"OY"}},
+          {"oy", {"OY"}},              {"au", {"AO"}},
+          {"aw", {"AO"}},              {"ew", {"UW"}},
+          {"ue", {"UW"}},              {"ie", {"IY"}},
+          {"ei", {"EY"}},              {"ar", {"AA", "R"}},
+          {"er", {"ER"}},              {"ir", {"ER"}},
+          {"ur", {"ER"}},              {"or", {"AO", "R"}},
+          {"ll", {"L"}},               {"ss", {"S"}},
+          {"tt", {"T"}},               {"pp", {"P"}},
+          {"bb", {"B"}},               {"dd", {"D"}},
+          {"ff", {"F"}},               {"gg", {"G"}},
+          {"mm", {"M"}},               {"nn", {"N"}},
+          {"rr", {"R"}},               {"zz", {"Z"}},
+      };
+  return kRules;
+}
+
+const std::unordered_map<char, std::vector<std::string>>& LtsSingle() {
+  static const std::unordered_map<char, std::vector<std::string>> kMap = {
+      {'a', {"AE"}}, {'b', {"B"}},      {'d', {"D"}}, {'e', {"EH"}},
+      {'f', {"F"}},  {'h', {"HH"}},     {'i', {"IH"}}, {'j', {"JH"}},
+      {'k', {"K"}},  {'l', {"L"}},      {'m', {"M"}}, {'n', {"N"}},
+      {'o', {"AA"}}, {'p', {"P"}},      {'r', {"R"}}, {'s', {"S"}},
+      {'t', {"T"}},  {'u', {"AH"}},     {'v', {"V"}}, {'w', {"W"}},
+      {'x', {"K", "S"}}, {'z', {"Z"}},
+  };
+  return kMap;
+}
+
+bool IsAsciiVowel(char c) {
+  return c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u';
+}
+
+}  // namespace
+
+std::vector<std::string> LetterToSound(const std::string& word) {
+  std::string w;
+  w.reserve(word.size());
+  for (char c : word) w.push_back(std::tolower(static_cast<unsigned char>(c)));
+  static const std::unordered_map<char, std::vector<std::string>> kMagicE = {
+      {'a', {"EY"}}, {'e', {"IY"}}, {'i', {"AY"}}, {'o', {"OW"}},
+      {'u', {"UW"}}};
+  std::vector<std::string> phones;
+  int magic_pos = -1;
+  if (w.size() >= 3 && w.back() == 'e' && !IsAsciiVowel(w[w.size() - 2]) &&
+      IsAsciiVowel(w[w.size() - 3])) {
+    magic_pos = static_cast<int>(w.size()) - 3;
+    w.pop_back();
+  }
+  size_t i = 0;
+  while (i < w.size()) {
+    if (static_cast<int>(i) == magic_pos) {
+      const auto& ph = kMagicE.at(w[i]);
+      phones.insert(phones.end(), ph.begin(), ph.end());
+      ++i;
+      continue;
+    }
+    bool matched = false;
+    for (const auto& rule : LtsMulti()) {
+      if (w.compare(i, rule.first.size(), rule.first) == 0) {
+        phones.insert(phones.end(), rule.second.begin(), rule.second.end());
+        i += rule.first.size();
+        matched = true;
+        break;
+      }
+    }
+    if (matched) continue;
+    char c = w[i];
+    char nxt = (i + 1 < w.size()) ? w[i + 1] : '\0';
+    bool soft = (nxt == 'e' || nxt == 'i' || nxt == 'y');
+    if (i == 0 && (w.compare(0, 2, "kn") == 0 || w.compare(0, 2, "gn") == 0)) {
+      phones.push_back("N");
+      i += 2;
+      continue;
+    }
+    if (i == 0 && w.compare(0, 2, "wr") == 0) {
+      phones.push_back("R");
+      i += 2;
+      continue;
+    }
+    if (c == 'c') {
+      phones.push_back(soft ? "S" : "K");
+    } else if (c == 'g') {
+      phones.push_back(soft ? "JH" : "G");
+    } else if (c == 'y') {
+      if (i == 0) {
+        phones.push_back("Y");
+      } else if (i == w.size() - 1) {
+        phones.push_back("IY");
+      } else {
+        phones.push_back("IH");
+      }
+    } else {
+      auto it = LtsSingle().find(c);
+      if (it != LtsSingle().end()) {
+        phones.insert(phones.end(), it->second.begin(), it->second.end());
+      }
+    }
+    ++i;
+  }
+  // stress: first vowel primary, the rest unstressed
+  std::vector<std::string> out;
+  out.reserve(phones.size());
+  bool seen_vowel = false;
+  for (const auto& p : phones) {
+    if (IsVowelPhone(p)) {
+      out.push_back(p + (seen_vowel ? "0" : "1"));
+      seen_vowel = true;
+    } else {
+      out.push_back(p);
+    }
+  }
+  return out;
+}
+
+std::vector<std::string> G2pEn::CompoundSplit(const std::string& word) const {
+  const int n = static_cast<int>(word.size());
+  // best[i]: fewest-pieces split of word[0:i]; size 0 + !valid = unset
+  std::vector<std::vector<std::string>> best(n + 1);
+  std::vector<bool> valid(n + 1, false);
+  valid[0] = true;
+  for (int i = 3; i <= n; ++i) {
+    for (int j = std::max(0, i - 24); j <= i - 3; ++j) {
+      if (!valid[j]) continue;
+      std::string piece = word.substr(j, i - j);
+      if (dict_.find(piece) == dict_.end()) continue;
+      if (!valid[i] || best[j].size() + 1 < best[i].size()) {
+        best[i] = best[j];
+        best[i].push_back(std::move(piece));
+        valid[i] = true;
+      }
+    }
+  }
+  return valid[n] ? best[n] : std::vector<std::string>();
+}
+
 std::vector<std::string> G2pEn::Convert(const std::string& grapheme) const {
   std::vector<std::string> phones;
   auto it = dict_.find(grapheme);
@@ -302,7 +469,9 @@ std::vector<std::string> G2pEn::Convert(const std::string& grapheme) const {
     Spell(grapheme, &phones);
     return phones;
   }
-  // long OOV: split on '-' pieces, lookup-or-spell each
+  // long OOV: split on '-' pieces; each piece is looked up, spelled (if
+  // short), or pronounced whole via compound split / letter-to-sound
+  // (phonetisaurus-FST role, g2p_en.cc:84-114)
   std::vector<std::string> parts;
   std::stringstream ss(grapheme);
   std::string piece;
@@ -313,8 +482,19 @@ std::vector<std::string> G2pEn::Convert(const std::string& grapheme) const {
     auto pit = dict_.find(parts[i]);
     if (pit != dict_.end()) {
       phones.insert(phones.end(), pit->second.begin(), pit->second.end());
-    } else {
+    } else if (parts[i].size() < 4) {
       Spell(parts[i], &phones);
+    } else {
+      std::vector<std::string> split = CompoundSplit(parts[i]);
+      if (!split.empty()) {
+        for (const auto& w : split) {
+          const auto& ph = dict_.at(w);
+          phones.insert(phones.end(), ph.begin(), ph.end());
+        }
+      } else {
+        std::vector<std::string> lts = LetterToSound(parts[i]);
+        phones.insert(phones.end(), lts.begin(), lts.end());
+      }
     }
     if (i + 1 < parts.size()) phones.push_back("#0");
   }

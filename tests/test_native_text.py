@@ -53,9 +53,16 @@ def test_wordbreak_parity(tmp_path):
 def test_g2p_en_parity(tmp_path):
     cmu = tmp_path / "cmu.txt"
     cmu.write_text("hello HH AH0 L OW1\nworld W ER1 L D\na EY1\nb B IY1\n"
-                   "c S IY1\nsuper S UW1 P ER0\nman M AE1 N\n",
+                   "c S IY1\nsuper S UW1 P ER0\nman M AE1 N\n"
+                   "tensor T EH1 N S ER0\nflow F L OW1\n",
                    encoding="utf8")
     nat = native.NativeG2pEn(str(cmu))
     py = G2pEn(str(cmu))
-    for word in ["hello", "abc", "super-man", "superman", "ab"]:
-        assert nat.convert(word) == py.convert(word)
+    for word in ["hello", "abc", "super-man", "superman", "ab",
+                 "tensorflow", "blargish", "knightly", "tensor-blarg"]:
+        assert nat.convert(word) == py.convert(word), word
+    # long-OOV quality: compound split beats letter spelling
+    assert py.convert("tensorflow") == [
+        "T", "EH1", "N", "S", "ER0", "F", "L", "OW1"]
+    # residue goes through letter-to-sound, not letter spelling
+    assert "#0" not in py.convert("blargish")
