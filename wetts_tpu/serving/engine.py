@@ -44,6 +44,12 @@ FRAMES_PER_TEXT = 12  # generous upper bound on frames per phone
 # forced clause split length, in characters (sentence_break.h:27 default);
 # keeps any single clause's phone count well inside TEXT_BUCKETS[-1]
 MAX_CLAUSE_LEN = 32
+# decode-frame buckets: batched decode runs at the smallest bucket covering
+# the batch's realized y_lengths instead of the FRAMES_PER_TEXT worst case
+FRAME_BUCKETS = (96, 192, 288, 384, 576, 768, 1152, 1536, 2304)
+# frames of conv context beyond the longest utterance so the decode
+# boundary never touches real audio (reference streaming pad, vits_model.h)
+DECODE_MARGIN = 10
 
 
 class SynthesisEngine:
@@ -71,7 +77,6 @@ class SynthesisEngine:
         self.hop = int(np.prod(cfg.model.upsample_rates))
         self.sample_rate = cfg.data.sampling_rate
         self._rng = jax.random.PRNGKey(seed)
-        self._infer_cache = {}
         self._encode_cache = {}
         self._decode_cache = {}
         # engine-level lock: one synthesis at a time per chip, and a single
@@ -148,28 +153,13 @@ class SynthesisEngine:
         b = TEXT_BUCKETS[-1]
         return b, b * FRAMES_PER_TEXT
 
-    def _infer_fn(self, text_pad: int, max_frames: int):
-        key = (text_pad, max_frames)
-        if key not in self._infer_cache:
-            ns, ls, nsw = self.scales
-
-            if self.use_fast_decoder:
-                @jax.jit
-                def run(x, xl, sid, rng):
-                    z, y_len, y_mask, attn, g = self.model.apply(
-                        self.params, x, xl, sid, ns, ls, nsw, max_frames,
-                        method=Synthesizer.encode_infer,
-                        rngs={"noise": rng})
-                    return self._fast_decode(z, g), y_len, attn
-            else:
-                @jax.jit
-                def run(x, xl, sid, rng):
-                    return self.model.apply(
-                        self.params, x, xl, sid, ns, ls, nsw, max_frames,
-                        method=Synthesizer.infer, rngs={"noise": rng})
-
-            self._infer_cache[key] = run
-        return self._infer_cache[key]
+    def _frame_bucket(self, max_len: int, cap: int) -> int:
+        """Smallest decode-frame bucket covering max_len (+ conv margin)."""
+        need = max_len + DECODE_MARGIN
+        for b in FRAME_BUCKETS:
+            if need <= b <= cap:
+                return b
+        return cap
 
     def _next_rng(self):
         self._rng, k = jax.random.split(self._rng)
@@ -229,13 +219,24 @@ class SynthesisEngine:
                 x[row, : len(ids)] = ids
                 xl[row] = len(ids)
                 sid_arr[row] = sid
-            # jit retraces per batch bucket; cache key stays (text, frames)
-            run = self._infer_fn(text_pad, max_frames)
-            audio, y_len, _ = run(
-                jnp.asarray(x), jnp.asarray(xl), jnp.asarray(sid_arr),
-                self._next_rng())
-            y_len = np.asarray(y_len)
-            audio = np.asarray(audio)
+            # two-phase synthesis: encode at the (text, frames) bucket,
+            # then decode at the smallest FRAME bucket covering the batch's
+            # true lengths. The decoder is ~93% of inference time and the
+            # frames-per-phone upper bound (FRAMES_PER_TEXT) over-pads by
+            # ~3x on typical text, so bucketing decode by realized length
+            # recovers most of that compute. +DECODE_MARGIN frames keeps
+            # the conv boundary outside real audio (the reference tolerates
+            # a 10-frame context in streaming, vits_model.h:62).
+            run_enc = self._encode_fn(text_pad, max_frames)
+            with self.stage_times.stage("encode"):
+                z, y_len, g = run_enc(
+                    jnp.asarray(x), jnp.asarray(xl), jnp.asarray(sid_arr),
+                    self._next_rng())
+                y_len = np.asarray(jax.device_get(y_len))
+            fb = self._frame_bucket(int(y_len.max()), max_frames)
+            dec = self._decode_fn(fb)
+            with self.stage_times.stage("decode"):
+                audio = np.asarray(dec(z[:, :fb], g))
             return [audio[i, : int(y_len[i]) * self.hop, 0]
                     for i in range(n)]
 
