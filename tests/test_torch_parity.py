@@ -171,3 +171,42 @@ def test_training_stats_parity():
         np.asarray(logs_q_j), logs_q_t.numpy().transpose(0, 2, 1), atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(zp_j), zp_t.numpy().transpose(0, 2, 1), atol=1e-4)
+
+
+def test_voice_conversion_parity():
+    """VC composition parity (models.py:369-376): posterior mean -> flow
+    fwd with g_src -> flow reverse with g_tgt -> decoder with g_tgt.
+
+    The reference's voice_conversion samples z stochastically (enc_q
+    randn); parity is asserted on the deterministic mean path, which
+    exercises the same speaker-swap plumbing end-to-end."""
+    cfg = small_cfg()
+    tmodel, jmodel, variables = build_pair(cfg)
+    rng = np.random.default_rng(5)
+    b, t_spec = 2, 18
+    spec = rng.standard_normal(
+        (b, t_spec, cfg.data.spec_channels)).astype(np.float32)
+    yl = np.array([t_spec, 14])
+    sid_src = np.array([0, 1])
+    sid_tgt = np.array([2, 0])
+
+    with torch.no_grad():
+        g_src = tmodel.emb_g(torch.from_numpy(sid_src)).unsqueeze(-1)
+        g_tgt = tmodel.emb_g(torch.from_numpy(sid_tgt)).unsqueeze(-1)
+        _, m_q, _, y_mask = tmodel.enc_q(
+            torch.from_numpy(spec.transpose(0, 2, 1)),
+            torch.from_numpy(yl), g=g_src)
+        z_p = tmodel.flow(m_q, y_mask, g=g_src)
+        z_hat = tmodel.flow(z_p, y_mask, g=g_tgt, reverse=True)
+        o_t = tmodel.dec(z_hat * y_mask, g=g_tgt)
+
+    model = jmodel.bind(variables, rngs={"noise": jax.random.PRNGKey(0)})
+    gs = model._speaker(jnp.asarray(sid_src))
+    gt = model._speaker(jnp.asarray(sid_tgt))
+    _, m_q_j, _, y_mask_j = model.enc_q(jnp.asarray(spec),
+                                        jnp.asarray(yl), g=gs)
+    z_p_j = model.flow(m_q_j, y_mask_j, g=gs)
+    z_hat_j = model.flow(z_p_j, y_mask_j, g=gt, reverse=True)
+    o_j = model.dec(z_hat_j * y_mask_j, g=gt)
+    np.testing.assert_allclose(
+        np.asarray(o_j)[:, :, 0], o_t.numpy()[:, 0, :], atol=2e-4)
