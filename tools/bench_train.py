@@ -65,19 +65,34 @@ def run_once(bf16: bool, batch_size: int, iters: int):
         "spec_lengths": jnp.full((b,), t_spec, jnp.int32),
         "sid": jnp.zeros((b,), jnp.int32),
     }
-    state, metrics = step(state, batch, jax.random.PRNGKey(1))  # compile
+    # XLA-counted FLOPs of the compiled step (for the MFU line); the same
+    # lowering is reused for execution so nothing compiles twice
+    compiled = step.lower(state, batch, jax.random.PRNGKey(1)).compile()
+    try:
+        step_flops = float(compiled.cost_analysis().get("flops", 0.0))
+    except Exception:  # noqa: BLE001 - cost analysis is best-effort
+        step_flops = 0.0
+    state, metrics = compiled(state, batch, jax.random.PRNGKey(1))  # warmup
     jax.block_until_ready(metrics)
 
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        state, metrics = compiled(state, batch, jax.random.PRNGKey(i))
     jax.block_until_ready(metrics)
     dt = (time.perf_counter() - t0) / iters
-    return {
+    kind = jax.devices()[0].device_kind.lower()
+    peaks = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
+             "v6e": 918.0, "v6 lite": 918.0}
+    peak = next((v for k, v in peaks.items() if k in kind), None)
+    out = {
         "steps_per_s": round(1.0 / dt, 3),
         "utts_per_s": round(batch_size / dt, 1),
         "audio_s_per_s": round(batch_size * t_spec * 256 / 22050 / dt, 1),
+        "model_tflops_per_s": round(step_flops / dt / 1e12, 2),
     }
+    if peak:
+        out["mfu_pct"] = round(100.0 * step_flops / dt / 1e12 / peak, 2)
+    return out
 
 
 def main():
