@@ -53,9 +53,39 @@ def get_model(name: str) -> str:
     """Returns the local directory of a named pretrained bundle."""
     if name not in MODEL_URLS:
         raise KeyError(f"unknown model {name!r}; known: {list(MODEL_URLS)}")
-    target = os.path.join(HOME, name)
+    home = os.environ.get("WETTS_TPU_HOME", HOME)
+    target = os.path.join(home, name)
     if os.path.isdir(target) and os.listdir(target):
-        return target
-    archive = download(MODEL_URLS[name], HOME)
+        return _bundle_root(target)
+    archive = download(MODEL_URLS[name], home)
     extract(archive, target)
+    return _bundle_root(target)
+
+
+def _bundle_root(target: str) -> str:
+    """Resolve a single top-level directory inside an extracted archive
+    (released tarballs wrap their payload in one directory, e.g.
+    multilingual_vits_v3_onnx/ — wetts/cli/hub.py:92-97 joins it by name)."""
+    entries = os.listdir(target)
+    if (len(entries) == 1
+            and os.path.isdir(os.path.join(target, entries[0]))):
+        return os.path.join(target, entries[0])
     return target
+
+
+def get_default_model_dir() -> str:
+    """Assemble the zero-config CLI bundle from the hub (the reference's
+    `wetts --text ...` path, wetts/cli/model.py:64-68: frontend bundle +
+    multilingual VITS bundle). The frontend bundle is optional — if its
+    fetch fails the model runs in raw-phone input mode."""
+    vits_dir = get_model("vits")
+    if not os.path.isdir(os.path.join(vits_dir, "frontend")):
+        try:
+            fe_dir = get_model("frontend")
+        except (RuntimeError, OSError):
+            fe_dir = None
+        if fe_dir is not None:
+            link = os.path.join(vits_dir, "frontend")
+            if not os.path.exists(link):
+                os.symlink(fe_dir, link)
+    return vits_dir

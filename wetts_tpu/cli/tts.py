@@ -13,8 +13,11 @@ def get_args():
     parser = argparse.ArgumentParser(description="TTS synthesis (TPU-native)")
     parser.add_argument("--text", required=True, help="text to synthesize")
     parser.add_argument("--wav", required=True, help="output wav path")
-    parser.add_argument("--model-dir", required=True,
-                        help="model bundle directory (see cli/model.py)")
+    parser.add_argument("--model-dir", default=None,
+                        help="model bundle directory (see cli/model.py); "
+                             "when omitted, the pretrained multilingual "
+                             "bundle is fetched from the hub "
+                             "(wetts/cli/tts.py:30-36 zero-config path)")
     parser.add_argument("--speaker", default=None, help="speaker name")
     return parser.parse_args()
 
@@ -24,7 +27,12 @@ def main():
     from wetts_tpu.cli.model import Model
     from wetts_tpu.utils.wav import write_wav
 
-    model = Model(args.model_dir)
+    model_dir = args.model_dir
+    if model_dir is None:
+        from wetts_tpu.cli.hub import get_default_model_dir
+
+        model_dir = get_default_model_dir()
+    model = Model(model_dir)
     audio = model.synthesis(args.text, args.speaker)
     write_wav(args.wav, audio, model.sample_rate)
     print(f"wrote {args.wav} ({audio.shape[0] / model.sample_rate:.2f}s)")
