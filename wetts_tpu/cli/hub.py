@@ -19,19 +19,25 @@ from typing import Dict
 HOME = os.environ.get(
     "WETTS_TPU_HOME", os.path.join(os.path.expanduser("~"), ".wetts_tpu"))
 
-# the reference's released artifacts (wetts/cli/hub.py:74-77)
-MODEL_URLS: Dict[str, str] = {
-    "frontend": ("https://modelscope.cn/models/wenet/wetts_baker_bert_onnx/"
-                 "resolve/master/baker_bert_onnx.tar.gz"),
-    "vits": ("https://modelscope.cn/models/wenet/"
-             "wetts_multilingual_vits_v3_onnx/resolve/master/"
-             "multilingual_vits_v3_onnx.tar.gz"),
+# The reference's released artifacts (README.md:63-66, wetts/cli/hub.py:74-77).
+# "vits" points at the CHECKPOINT release (multilingual_vits_v3_exp.tar.gz,
+# G_*.pth) — the artifact the converter reads natively; the runtime
+# (final.onnx) releases remain consumable through utils/onnx_import as a
+# fallback. Each entry is (url, archive filename) because the wenet.org.cn
+# download URLs carry the filename in a query parameter.
+MODEL_URLS: Dict[str, tuple] = {
+    "frontend": (("https://wenet.org.cn/downloads?models=wetts"
+                  "&version=baker_bert_onnx.tar.gz"),
+                 "baker_bert_onnx.tar.gz"),
+    "vits": (("https://wenet.org.cn/downloads?models=wetts"
+              "&version=multilingual_vits_v3_exp.tar.gz"),
+             "multilingual_vits_v3_exp.tar.gz"),
 }
 
 
-def download(url: str, dest_dir: str) -> str:
+def download(url: str, dest_dir: str, name: str = "") -> str:
     os.makedirs(dest_dir, exist_ok=True)
-    name = url.split("/")[-1]
+    name = name or url.split("?")[0].split("/")[-1]
     path = os.path.join(dest_dir, name)
     if not os.path.exists(path):
         try:
@@ -57,7 +63,8 @@ def get_model(name: str) -> str:
     target = os.path.join(home, name)
     if os.path.isdir(target) and os.listdir(target):
         return _bundle_root(target)
-    archive = download(MODEL_URLS[name], home)
+    url, fname = MODEL_URLS[name]
+    archive = download(url, home, fname)
     extract(archive, target)
     return _bundle_root(target)
 

@@ -27,12 +27,33 @@ from wetts_tpu.data.dataset import read_table
 from wetts_tpu.serving.engine import SynthesisEngine
 
 
+def _latest_g_pth(model_dir: str) -> Optional[str]:
+    """`G.pth` or the highest-step `G_<step>.pth` (the released checkpoint
+    bundles ship the training dir's numbered checkpoints — reference
+    latest_checkpoint_path glob-sort semantics, utils/task.py:98-102)."""
+    import glob
+    import re
+
+    plain = os.path.join(model_dir, "G.pth")
+    if os.path.exists(plain):
+        return plain
+    numbered = glob.glob(os.path.join(model_dir, "G_*.pth"))
+    if not numbered:
+        return None
+
+    def step(p):
+        m = re.search(r"G_(\d+)\.pth$", p)
+        return int(m.group(1)) if m else -1
+
+    return max(numbered, key=step)
+
+
 def load_params(model_dir: str, cfg: Config):
     """Load acoustic-model params from any supported artifact."""
     import jax.numpy as jnp
 
-    pth = os.path.join(model_dir, "G.pth")
-    if os.path.exists(pth):
+    pth = _latest_g_pth(model_dir)
+    if pth is not None:
         import torch
 
         from wetts_tpu.utils.convert import convert_synthesizer
@@ -44,6 +65,9 @@ def load_params(model_dir: str, cfg: Config):
         sd = {k: v.numpy() for k, v in sd.items()}
         return {"params": jax.tree_util.tree_map(
             jnp.asarray, convert_synthesizer(sd, cfg))}
+    onnx_path = os.path.join(model_dir, "final.onnx")
+    if os.path.exists(onnx_path):
+        return {"params": load_params_from_onnx(onnx_path, cfg)}
     npz = os.path.join(model_dir, "params.npz")
     if os.path.exists(npz):
         import jax
@@ -71,6 +95,42 @@ def load_params(model_dir: str, cfg: Config):
     raise FileNotFoundError(f"no model artifact found under {model_dir}")
 
 
+def load_params_from_onnx(onnx_path: str, cfg: Config):
+    """Params from a released `final.onnx` (the reference runtime bundle,
+    wetts/cli/model.py:28). The exported graph names every initializer by
+    its state-dict key with weight norm folded (export_onnx.py:80-82); the
+    modules the inference trace never touches (enc_q, the dropped SDP
+    ConvFlow) stay at their fresh initialization — none of them runs at
+    inference, so synthesis is exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from wetts_tpu.train.state import make_optimizer
+    from wetts_tpu.train.step import build_models, init_state
+    from wetts_tpu.utils.convert import convert_synthesizer
+    from wetts_tpu.utils.onnx_import import read_onnx_initializers
+
+    sd = read_onnx_initializers(onnx_path)
+    if not any(k.startswith("enc_p.") for k in sd):
+        raise ValueError(
+            f"{onnx_path}: no recognizable SynthesizerTrn initializers "
+            "(constant folding may have renamed them); convert the "
+            "checkpoint release (G_*.pth) instead")
+    partial = convert_synthesizer(sd, cfg, subset=True)
+
+    net_g, net_d, net_dur_d, _ = build_models(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(0), net_g, net_d, net_dur_d,
+                       make_optimizer(cfg))
+
+    def merge(init, conv):
+        if isinstance(conv, dict):
+            return {k: (merge(init[k], conv[k]) if k in conv else init[k])
+                    for k in init}
+        return jnp.asarray(conv)
+
+    return merge(state.params_g, partial)
+
+
 class Model:
     def __init__(self, model_dir: str):
         cfg = Config.from_json(os.path.join(model_dir, "config.json"))
@@ -86,7 +146,17 @@ class Model:
         frontend = None
         fe_dir = os.path.join(model_dir, "frontend")
         if os.path.isdir(fe_dir):
-            frontend = _load_frontend(fe_dir)
+            try:
+                frontend = _load_frontend(fe_dir)
+            except (OSError, KeyError, ValueError) as e:
+                # degrade to raw-phone input instead of failing the whole
+                # bundle (the engine's failure-detection policy; the
+                # reference hard-requires its frontend, cli/model.py:25)
+                import warnings
+
+                warnings.warn(f"frontend bundle unusable ({e}); "
+                              "running in raw-phone input mode",
+                              stacklevel=2)
         self.engine = SynthesisEngine(
             cfg, params, phone2id, speaker2id, frontend,
             noise_scale=0.667, length_scale=1.0, noise_scale_w=0.8)
@@ -106,24 +176,38 @@ class Model:
 
 
 def _load_frontend(fe_dir: str):
-    """Build the char frontend from a frontend model dir."""
-    import json
+    """Build the char frontend from a frontend model dir.
 
-    import jax
-    import numpy as np
+    Two layouts: this framework's export (config.json + params.npz,
+    bin/export_frontend.py) and the reference's released runtime bundle
+    (final.onnx + vocab.txt + lexicon/, e.g. baker_bert_onnx.tar.gz —
+    wetts/cli/frontend.py:22-32), whose initializers are imported directly.
+    """
+    import json
 
     from wetts_tpu.cli.frontend import CharFrontend
     from wetts_tpu.frontend.scorer import FrontendScorer
     from wetts_tpu.models.bert_frontend import BertConfig, FrontendModel
-    from wetts_tpu.utils.params_io import load_params_npz
 
     cfg_path = os.path.join(fe_dir, "config.json")
-    with open(cfg_path) as f:
-        d = json.load(f)
-    bert = BertConfig(**d["bert"])
-    model = FrontendModel(d["num_polyphones"], d["num_prosody"], bert,
-                          d.get("transform_heads", 8),
-                          d.get("transform_ffn", 2048))
-    params = load_params_npz(os.path.join(fe_dir, "params.npz"))
+    if os.path.exists(cfg_path):
+        from wetts_tpu.utils.params_io import load_params_npz
+
+        with open(cfg_path) as f:
+            d = json.load(f)
+        bert = BertConfig(**d["bert"])
+        model = FrontendModel(d["num_polyphones"], d["num_prosody"], bert,
+                              d.get("transform_heads", 8),
+                              d.get("transform_ffn", 2048))
+        params = load_params_npz(os.path.join(fe_dir, "params.npz"))
+    else:
+        from wetts_tpu.models.bert_frontend import convert_frontend_torch
+        from wetts_tpu.utils.onnx_import import read_onnx_initializers
+
+        sd = read_onnx_initializers(os.path.join(fe_dir, "final.onnx"))
+        params, meta = convert_frontend_torch(sd)
+        model = FrontendModel(meta["num_polyphones"], meta["num_prosody"],
+                              meta["bert"], meta["transform_heads"],
+                              meta["transform_ffn"])
     scorer = FrontendScorer(model, params)
     return CharFrontend.from_dir(scorer, fe_dir)

@@ -215,3 +215,70 @@ def convert_hf_bert(state_dict: Dict[str, np.ndarray], cfg: BertConfig
             "output_norm": ln(f"{b}.output.LayerNorm"),
         }
     return jax.tree.map(jnp.asarray, params)
+
+
+def convert_frontend_torch(state_dict: Dict[str, np.ndarray]):
+    """Full reference FrontendModel state_dict -> (params, meta).
+
+    Accepts the tensors of wetts/frontend/model.py:21-49 under their
+    state-dict names (`bert.*`, `transform.*`, `phone_classifier`,
+    `prosody_classifier`) — the naming both the torch checkpoints and the
+    exported final.onnx initializers use (export_forward traces every
+    parameter, so nothing is missing from the ONNX bundle).
+
+    Returns (params, dict(bert=BertConfig, num_polyphones, num_prosody,
+    transform_heads, transform_ffn)); head counts follow the reference's
+    d_model dispatch (model.py:33-42: 768 -> transform nhead 8,
+    312 (TinyBERT) -> 12; HF BERT heads are hidden//64).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    bert_sd = {k[len("bert."):]: v for k, v in sd.items()
+               if k.startswith("bert.") and ".pooler." not in k}
+    hidden = bert_sd["embeddings.word_embeddings.weight"].shape[1]
+    n_layers = 1 + max(int(k.split(".")[2]) for k in bert_sd
+                       if k.startswith("encoder.layer."))
+    cfg = BertConfig(
+        vocab_size=bert_sd["embeddings.word_embeddings.weight"].shape[0],
+        hidden_size=hidden,
+        num_layers=n_layers,
+        num_heads=max(1, hidden // 64) if hidden % 64 == 0 else 12,
+        intermediate_size=bert_sd[
+            "encoder.layer.0.intermediate.dense.weight"].shape[0],
+        max_position=bert_sd[
+            "embeddings.position_embeddings.weight"].shape[0],
+        type_vocab_size=bert_sd[
+            "embeddings.token_type_embeddings.weight"].shape[0])
+
+    def lin(prefix):
+        return {"kernel": sd[prefix + ".weight"].T.astype(np.float32),
+                "bias": sd[prefix + ".bias"].astype(np.float32)}
+
+    def norm(prefix):
+        return {"scale": sd[prefix + ".weight"].astype(np.float32),
+                "bias": sd[prefix + ".bias"].astype(np.float32)}
+
+    params = {
+        "bert": jax.tree.map(np.asarray, convert_hf_bert(bert_sd, cfg)),
+        "transform": {
+            "in_proj": {
+                "kernel": sd["transform.self_attn.in_proj_weight"
+                             ].T.astype(np.float32),
+                "bias": sd["transform.self_attn.in_proj_bias"
+                           ].astype(np.float32)},
+            "out_proj": lin("transform.self_attn.out_proj"),
+            "linear1": lin("transform.linear1"),
+            "linear2": lin("transform.linear2"),
+            "norm1": norm("transform.norm1"),
+            "norm2": norm("transform.norm2"),
+        },
+        "phone_classifier": lin("phone_classifier"),
+        "prosody_classifier": lin("prosody_classifier"),
+    }
+    meta = {
+        "bert": cfg,
+        "num_polyphones": sd["phone_classifier.weight"].shape[0],
+        "num_prosody": sd["prosody_classifier.weight"].shape[0],
+        "transform_heads": 12 if hidden == 312 else 8,
+        "transform_ffn": sd["transform.linear1.weight"].shape[0],
+    }
+    return params, meta

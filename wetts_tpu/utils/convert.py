@@ -64,11 +64,21 @@ class _Mapper:
         self.unused = []
 
     # -- building blocks ------------------------------------------------
+    def _wn_pair(self, tname: str, sd: Dict, norm_axes):
+        """(v, g) for a weight-normed tensor; folds when the checkpoint was
+        exported with `remove_weight_norm` (export_onnx.py:80-82) and only
+        carries the plain `weight` (w == g * v/||v|| holds with v = w,
+        g = ||w|| over `norm_axes`, torch weight_norm dim=0 semantics)."""
+        if tname + ".weight_v" in sd:
+            return sd.pop(tname + ".weight_v"), sd.pop(tname + ".weight_g")
+        w = sd.pop(tname + ".weight")
+        g = np.sqrt((w.astype(np.float64) ** 2).sum(axis=norm_axes))
+        return w, g.astype(w.dtype)
+
     def conv1d(self, tname: str, sd: Dict, path, dense=False, wn=False):
         """Map a torch Conv1d (possibly weight-normed) at `tname`."""
         if wn:
-            v = sd.pop(tname + ".weight_v")
-            g = sd.pop(tname + ".weight_g")
+            v, g = self._wn_pair(tname, sd, norm_axes=(1, 2))
             _set(self.params, path + ("v",), _conv_w(v))
             _set(self.params, path + ("g",), _g(g))
         else:
@@ -83,8 +93,7 @@ class _Mapper:
 
     def conv_transpose(self, tname: str, sd: Dict, path, wn=True):
         if wn:
-            v = sd.pop(tname + ".weight_v")
-            g = sd.pop(tname + ".weight_g")
+            v, g = self._wn_pair(tname, sd, norm_axes=(1, 2))
             _set(self.params, path + ("v",), v)
             _set(self.params, path + ("g",), _g(g))
         else:
@@ -95,8 +104,7 @@ class _Mapper:
 
     def conv2d(self, tname: str, sd: Dict, path, wn=True):
         if wn:
-            v = sd.pop(tname + ".weight_v")
-            g = sd.pop(tname + ".weight_g")
+            v, g = self._wn_pair(tname, sd, norm_axes=(1, 2, 3))
             _set(self.params, path + ("v",), _conv2d_w(v))
             _set(self.params, path + ("g",), _g(g))
         else:
@@ -119,13 +127,16 @@ class _Mapper:
     # -- composite modules ----------------------------------------------
     def wn_block(self, tname: str, sd: Dict, path, n_layers: int,
                  has_cond: bool):
-        if has_cond and (tname + ".cond_layer.weight_v") in sd:
+        cond_present = (tname + ".cond_layer.weight_v" in sd
+                        or tname + ".cond_layer.weight" in sd)  # folded
+        if has_cond and cond_present:
             self.conv1d(tname + ".cond_layer", sd, path + ("cond_layer",),
                         wn=True)
-        elif tname + ".cond_layer.weight_v" in sd:
+        elif cond_present:
             # zero-gin cond layer exists in torch but is unused
-            sd.pop(tname + ".cond_layer.weight_v")
-            sd.pop(tname + ".cond_layer.weight_g")
+            sd.pop(tname + ".cond_layer.weight_v", None)
+            sd.pop(tname + ".cond_layer.weight_g", None)
+            sd.pop(tname + ".cond_layer.weight", None)
             sd.pop(tname + ".cond_layer.bias", None)
         for i in range(n_layers):
             self.conv1d(f"{tname}.in_layers.{i}", sd, path + (f"in_{i}",),
@@ -187,29 +198,73 @@ class _Mapper:
         _set(self.params, path + ("logs",), _g(sd.pop(tname + ".logs")))
 
 
-def convert_synthesizer(state_dict: Dict[str, np.ndarray], cfg) -> Dict:
+class _LenientMapper(_Mapper):
+    """Mapper that skips absent tensors leaf-by-leaf.
+
+    Exported inference graphs omit whole modules (final.onnx has no enc_q;
+    the SDP's reverse path drops one "useless" ConvFlow,
+    duration_predictors.py:255-256), so any leaf may be missing. Skipped
+    leaves keep their freshly-initialized values after the caller's merge.
+    """
+
+    def _skip(self, method, *args, **kwargs):
+        try:
+            method(*args, **kwargs)
+        except KeyError:
+            pass
+
+    def conv1d(self, *a, **k):
+        self._skip(super().conv1d, *a, **k)
+
+    def conv_transpose(self, *a, **k):
+        self._skip(super().conv_transpose, *a, **k)
+
+    def conv2d(self, *a, **k):
+        self._skip(super().conv2d, *a, **k)
+
+    def layer_norm(self, *a, **k):
+        self._skip(super().layer_norm, *a, **k)
+
+    def linear(self, *a, **k):
+        self._skip(super().linear, *a, **k)
+
+    def elementwise_affine(self, *a, **k):
+        self._skip(super().elementwise_affine, *a, **k)
+
+
+def convert_synthesizer(state_dict: Dict[str, np.ndarray], cfg,
+                        subset: bool = False) -> Dict:
     """Reference SynthesizerTrn state_dict -> flax params for Synthesizer.
 
     cfg: wetts_tpu.config.Config (used for layer counts / feature flags).
+    subset: tolerate missing top-level sections — exported inference graphs
+    carry only the modules they trace (final.onnx has no enc_q; streaming
+    encoder_*.onnx has no dec — export_onnx.py:93-158). The returned partial
+    tree is merged over freshly-initialized params by the caller.
     """
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
-    m = _Mapper()
+    m = _LenientMapper() if subset else _Mapper()
     mc = cfg.model
 
+    def has(marker: str) -> bool:
+        return not subset or marker in sd
+
     # ---- enc_p -------------------------------------------------------
-    _set(m.params, ("enc_p", "emb"), sd.pop("enc_p.emb.weight"))
-    m.encoder("enc_p.encoder", sd, ("enc_p", "encoder"), mc.n_layers)
-    m.conv1d("enc_p.proj", sd, ("enc_p", "proj"))
+    if has("enc_p.emb.weight"):
+        _set(m.params, ("enc_p", "emb"), sd.pop("enc_p.emb.weight"))
+        m.encoder("enc_p.encoder", sd, ("enc_p", "encoder"), mc.n_layers)
+        m.conv1d("enc_p.proj", sd, ("enc_p", "proj"))
 
     # ---- enc_q -------------------------------------------------------
-    m.conv1d("enc_q.pre", sd, ("enc_q", "pre"))
-    m.wn_block("enc_q.enc", sd, ("enc_q", "enc"), 16,
-               has_cond=mc.gin_channels > 0)
-    m.conv1d("enc_q.proj", sd, ("enc_q", "proj"))
+    if has("enc_q.pre.weight"):
+        m.conv1d("enc_q.pre", sd, ("enc_q", "pre"))
+        m.wn_block("enc_q.enc", sd, ("enc_q", "enc"), 16,
+                   has_cond=mc.gin_channels > 0)
+        m.conv1d("enc_q.proj", sd, ("enc_q", "proj"))
 
     # ---- flow --------------------------------------------------------
     ftype = mc.transformer_flow_type if mc.use_transformer_flows else None
-    n_flows = 4
+    n_flows = 4 if has("flow.flows.0.pre.weight") else 0
     if ftype in ("mono_layer_inter_residual", "mono_layer_post_residual"):
         for i in range(n_flows):
             base = f"flow.flows.{3 * i}"
@@ -257,7 +312,9 @@ def convert_synthesizer(state_dict: Dict[str, np.ndarray], cfg) -> Dict:
                 m.conv1d(f"{base}.post", sd, path + ("post",))
 
     # ---- duration predictor -----------------------------------------
-    if mc.use_sdp:
+    if not has("dp.pre.weight" if mc.use_sdp else "dp.conv_1.weight"):
+        pass
+    elif mc.use_sdp:
         m.elementwise_affine("dp.flows.0", sd, ("dp", "flow_ea"))
         for i in range(4):
             m.conv_flow(f"dp.flows.{1 + 2 * i}", sd,
@@ -282,7 +339,10 @@ def convert_synthesizer(state_dict: Dict[str, np.ndarray], cfg) -> Dict:
             m.conv1d("dp.cond", sd, ("dp", "cond"))
 
     # ---- decoder -----------------------------------------------------
-    if mc.vocoder_type == "vocos":
+    if not has("dec.in_conv.weight" if mc.vocoder_type == "vocos"
+               else "dec.conv_pre.weight"):
+        pass
+    elif mc.vocoder_type == "vocos":
         m.conv1d("dec.in_conv", sd, ("dec", "in_conv"))
         if "dec.cond.weight" in sd:
             m.conv1d("dec.cond", sd, ("dec", "cond"))
@@ -326,6 +386,10 @@ def convert_synthesizer(state_dict: Dict[str, np.ndarray], cfg) -> Dict:
         _set(m.params, ("emb_g", "embedding"), sd.pop("emb_g.weight"))
 
     leftovers = [k for k in sd if not k.endswith("num_batches_tracked")]
+    if subset:
+        # exported graphs carry constant-folded extras ("onnx::Gather_12",
+        # shape constants); a partial import never errors on leftovers
+        leftovers = []
     if leftovers:
         raise ValueError(f"unmapped reference tensors: {leftovers[:10]}"
                          f" (+{max(0, len(leftovers) - 10)} more)")
