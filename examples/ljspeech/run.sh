@@ -6,6 +6,7 @@ stop_stage=3
 dir=exp/v1
 config=configs/v1.json
 raw_data_dir=./LJSpeech-1.1
+# full dict when fetched by the user; vendored mini snapshot otherwise
 cmudict=./cmudict.dict
 data=data
 test_audio=test_audio
@@ -15,6 +16,7 @@ export PYTHONPATH=$repo_root:$PYTHONPATH
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
   mkdir -p $data
+  [ -f $cmudict ] || cmudict=$repo_root/wetts_tpu/assets/cmudict_mini.txt
   python local/prepare_data.py --data_dir $raw_data_dir \
     --cmudict $cmudict --output $data/all.txt
   awk -F '|' '{print $2}' $data/all.txt | sort | uniq | \

@@ -51,16 +51,19 @@ class CharFrontend:
 
     @classmethod
     def from_dir(cls, scorer, model_dir: str) -> "CharFrontend":
+        """Bundle-dir tables first, vendored repo assets as fallback
+        (wetts_tpu/assets/lexicon mirrors the reference's in-repo tables,
+        examples/chinese_prosody_polyphone/lexicon/)."""
+        from wetts_tpu.assets import resolve
         from wetts_tpu.text.lexicon import read_pinyin2phones
 
         return cls(
             scorer,
             read_list(os.path.join(model_dir, "vocab.txt")),
-            read_list(os.path.join(model_dir, "lexicon", "polyphone.txt")),
-            read_char2pinyins(
-                os.path.join(model_dir, "lexicon", "pinyin_dict.txt")),
-            read_pinyin2phones(
-                os.path.join(model_dir, "lexicon", "lexicon.txt")),
+            read_list(resolve(model_dir, "lexicon", "polyphone.txt")),
+            read_char2pinyins(resolve(model_dir, "lexicon",
+                                      "pinyin_dict.txt")),
+            read_pinyin2phones(resolve(model_dir, "lexicon", "lexicon.txt")),
         )
 
     def normalize(self, text: str) -> str:
@@ -80,10 +83,18 @@ class CharFrontend:
         for i, ch in enumerate(chars, start=1):
             cands = self.char2pinyins[ch]
             if len(cands) > 1:
-                probs = [pinyin_prob[i][self.polyphone2id[p]] for p in cands
-                         if p in self.polyphone2id]
-                pick = int(np.argmax(probs)) if probs else 0
-                pinyins.append(cands[pick])
+                # guard the head width: a bundle may pair a small model
+                # with the full 470-class vendored table — candidates the
+                # model can't score fall back to the first pronunciation
+                n_cls = pinyin_prob.shape[1]
+                scorable = [p for p in cands
+                            if self.polyphone2id.get(p, n_cls) < n_cls]
+                probs = [pinyin_prob[i][self.polyphone2id[p]]
+                         for p in scorable]
+                # first-max tie-breaking, like the reference's
+                # poly_probs.index(max(...)) (cli/frontend.py:74-78)
+                pinyins.append(scorable[int(np.argmax(probs))] if probs
+                               else cands[0])
             else:
                 pinyins.append(cands[0])
         prosody = prosody_prob.argmax(axis=1).tolist()
