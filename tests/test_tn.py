@@ -100,3 +100,30 @@ CASES = [
 @pytest.mark.parametrize("raw,expected", CASES, ids=[c[0] for c in CASES])
 def test_tn_golden(raw, expected):
     assert TextNormalizer().normalize(raw) == expected
+
+
+def test_wetext_corpus_coverage():
+    """157-case category corpus transcribed from WeTextProcessing's
+    documented behavior (the reference's FST normalizer,
+    runtime/core/frontend/tn.h:26-46): cardinal / 二-两 selection /
+    decimal / negative / percent / fraction / date / time / money /
+    measure / telephone / range / year / plain-char / mixed sentences.
+    Measured coverage is asserted at 100% so any regression names the
+    failing category+case."""
+    import os
+
+    tn = TextNormalizer()
+    corpus = os.path.join(os.path.dirname(__file__), "data", "tn_corpus.tsv")
+    fails = []
+    total = 0
+    for line in open(corpus, encoding="utf8"):
+        cat, src, want = line.rstrip("\n").split("\t")
+        total += 1
+        got = tn.normalize(src)
+        if got != want:
+            fails.append(f"[{cat}] {src!r}: got {got!r} want {want!r}")
+    assert total >= 150
+    rate = (total - len(fails)) / total
+    assert not fails, (f"TN corpus coverage {rate:.3f} "
+                       f"({len(fails)}/{total} failing):\n"
+                       + "\n".join(fails[:20]))

@@ -118,12 +118,17 @@ class TextNormalizer:
     """Rule-based CN text normalization with identity fallback."""
 
     _NUM = r"\d+(?:\.\d+)?"
-    _RE_PCT_RANGE = re.compile(rf"({_NUM})\s*[-~]\s*({_NUM})%")
+    _RE_PCT_RANGE = re.compile(rf"({_NUM})%?\s*[-~]\s*({_NUM})%")
     _RE_PERCENT = re.compile(rf"(-?)({_NUM})%")
     _RE_ISO_DATE = re.compile(r"(\d{4})[-/](\d{1,2})[-/](\d{1,2})日?")
     _RE_YEAR_RANGE = re.compile(r"(\d{4})\s*[-~]\s*(\d{4})年")
-    _RE_YEAR = re.compile(r"(\d{4})年")
+    # years read digit-by-digit only in the calendar range 1000-2999
+    # ("5000年" is a duration -> cardinal 五千年, the WeTextProcessing
+    # date/number disambiguation)
+    _RE_YEAR = re.compile(r"([12]\d{3})年")
     _RE_DATE = re.compile(r"(\d{1,2})月(\d{1,3})([日号])")
+    _RE_TIME_RANGE = re.compile(
+        r"(\d{1,2}:\d{2}(?::\d{2})?)\s*[-~]\s*(?=\d{1,2}:\d{2})")
     _RE_TIME = re.compile(r"(\d{1,2}):(\d{2})(?::(\d{2}))?")
     _RE_FRACTION = re.compile(r"(?<![\d/.])(\d+)/(\d+)(?![\d/.])")
     _RE_RANGE = re.compile(rf"(?<![\d.])({_NUM})\s*[-~]\s*({_NUM})(?![\d.])")
@@ -137,7 +142,9 @@ class TextNormalizer:
     # 0xx(x)-xxxxxxx(x), long 0-leading digit strings
     _RE_TEL = re.compile(r"(?<!\d)(0\d{2,3})-(\d{7,8})(?!\d)")
     _RE_PHONE = re.compile(r"(?<!\d)(?:1[3-9]\d{9}|0\d{9,11})(?!\d)")
-    _RE_LEADING_ZERO = re.compile(r"(?<!\d)0\d+")
+    # not after a decimal point: the fractional digits of 5.05 belong to
+    # the decimal rule, not the digit-string rule
+    _RE_LEADING_ZERO = re.compile(r"(?<![\d.])0\d+")
     _RE_NEG = re.compile(rf"-({_NUM})")
     _RE_DECIMAL = re.compile(r"(\d+)\.(\d+)")
     _RE_TWO = re.compile(rf"(?<!\d)(?<!第)2(?=[{_CLASSIFIERS}])")
@@ -150,6 +157,7 @@ class TextNormalizer:
         text = self._RE_YEAR_RANGE.sub(self._year_range, text)
         text = self._RE_YEAR.sub(self._year, text)
         text = self._RE_DATE.sub(self._date, text)
+        text = self._RE_TIME_RANGE.sub(lambda m: m.group(1) + "到", text)
         text = self._RE_TIME.sub(self._time, text)
         text = self._RE_FRACTION.sub(self._fraction, text)
         text = self._RE_UNIT.sub(self._unit, text)
