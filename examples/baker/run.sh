@@ -12,6 +12,7 @@ config=configs/v1.json
 raw_data_dir=.   # path to the DataBaker corpus
 data=data
 test_audio=test_audio
+train_args=""     # extra train flags, e.g. "--max_steps 2" for smoke runs
 
 . ../../tools/parse_options.sh || exit 1
 
@@ -47,7 +48,7 @@ if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
     --train_data $data/train.txt \
     --val_data $data/val.txt \
     --speaker_table $data/speaker.txt \
-    --phone_table $data/phones.txt
+    --phone_table $data/phones.txt $train_args
 fi
 
 if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then

@@ -100,10 +100,14 @@ def main():
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--skip_bf16", action="store_true")
+    ap.add_argument("--skip_fp32", action="store_true",
+                    help="bf16-only run (bench.py's driver extras use this "
+                         "to avoid a second full-size train-step compile)")
     args = ap.parse_args()
     out = {"metric": "train_step_throughput_vits_base",
-           "batch_size": args.batch_size,
-           "fp32": run_once(False, args.batch_size, args.iters)}
+           "batch_size": args.batch_size}
+    if not args.skip_fp32:
+        out["fp32"] = run_once(False, args.batch_size, args.iters)
     if not args.skip_bf16:
         out["bf16"] = run_once(True, args.batch_size, args.iters)
     print(json.dumps(out))

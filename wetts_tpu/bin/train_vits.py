@@ -33,6 +33,17 @@ def get_args():
                    help="accepted for reference-CLI compatibility")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed for TPU pods")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (multihost; "
+                        "auto-detected on TPU pods when omitted)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--no_donate", action="store_true",
+                   help="disable buffer donation (XLA:CPU smoke runs; "
+                        "jaxlib 0.9.0 crash, tests/isolation.py)")
+    p.add_argument("--plain_decoder", action="store_true",
+                   help="skip the space-to-depth decoder rewrite "
+                        "(compile-time over step-time, CI smoke runs)")
     return p.parse_args()
 
 
@@ -41,7 +52,20 @@ def main():
     if args.multihost:
         import jax
 
-        jax.distributed.initialize()
+        # NB: must not touch jax.default_backend() here — backend init
+        # before distributed.initialize() breaks process discovery
+        if args.coordinator or os.environ.get("JAX_PLATFORMS",
+                                              "").startswith("cpu"):
+            # CPU cross-process collectives need the gloo transport
+            # (two-local-process smoke tests; TPU pods use ICI/DCN)
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        if args.coordinator:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id)
+        else:
+            jax.distributed.initialize()  # TPU-pod auto detection
 
     from wetts_tpu.config import Config
     from wetts_tpu.train.trainer import Trainer
@@ -53,7 +77,9 @@ def main():
                     os.path.join(args.model_dir, "config.json"))
     trainer = Trainer(cfg, args.model_dir, args.train_data,
                       args.phone_table, args.speaker_table, args.val_data,
-                      slm_model_dir=args.slm_model)
+                      slm_model_dir=args.slm_model,
+                      donate=not args.no_donate,
+                      use_fast_decoder=False if args.plain_decoder else None)
     trainer.train(max_steps=args.max_steps)
 
 

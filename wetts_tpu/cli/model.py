@@ -78,10 +78,21 @@ def load_params(model_dir: str, cfg: Config):
         # traced id array inside jit is a TracerArrayConversionError
         return {"params": jax.tree_util.tree_map(jnp.asarray,
                                                  load_params_npz(npz))}
-    ckpt_dir = os.path.join(model_dir, "checkpoint")
-    if os.path.isdir(ckpt_dir):
-        from wetts_tpu.train import checkpoint as ckpt_mod
-        from wetts_tpu.train.state import GANTrainState, make_optimizer
+    # Orbax checkpoints: either a bundle's checkpoint/ subdir or a
+    # Trainer run dir itself (the Trainer writes step dirs directly under
+    # model_dir, so `infer_vits --model_dir exp/v1` loads training output)
+    from wetts_tpu.train import checkpoint as ckpt_mod
+
+    for ckpt_dir in (os.path.join(model_dir, "checkpoint"), model_dir):
+        if not os.path.isdir(ckpt_dir):
+            continue
+        try:
+            step = ckpt_mod.latest_step(ckpt_dir)
+        except Exception:  # noqa: BLE001 - not an orbax dir
+            continue
+        if step is None:
+            continue
+        from wetts_tpu.train.state import make_optimizer
         from wetts_tpu.train.step import build_models, init_state
 
         import jax
@@ -90,7 +101,7 @@ def load_params(model_dir: str, cfg: Config):
         tx = make_optimizer(cfg)
         state = init_state(cfg, jax.random.PRNGKey(0), net_g, net_d,
                            net_dur_d, tx)
-        state = ckpt_mod.load_checkpoint(ckpt_dir, state)
+        state = ckpt_mod.load_checkpoint(ckpt_dir, state, step)
         return {"params": state.params_g}
     raise FileNotFoundError(f"no model artifact found under {model_dir}")
 

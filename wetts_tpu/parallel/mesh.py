@@ -34,8 +34,21 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any],
                 axis_name: str = "data") -> Dict[str, Any]:
-    """Place each [B, ...] array sharded over the mesh's data axis."""
+    """Place each [B, ...] array sharded over the mesh's data axis.
+
+    Single-process: device_put with the batch as the global array.
+    Multi-process (jax.distributed): each process holds only ITS per-rank
+    batch (BucketBatcher rank striding — the reference DistributedBucket-
+    Sampler's `ids_bucket[rank::num_replicas]`, data_utils.py:311), so the
+    global array is assembled from process-local shards; the global batch
+    dimension is process_count * local_batch.
+    """
     sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(
+                sharding, np.asarray(v)) for k, v in batch.items()
+        }
     return {
         k: jax.device_put(v, sharding) for k, v in batch.items()
     }

@@ -195,6 +195,8 @@ class Trainer:
         self.state = state
 
     def _log_metrics(self, step: int, metrics: Dict, epoch: int, sps: float):
+        if jax.process_index() != 0:  # rank-0 logging (reference train.py:509)
+            return
         rec = {"step": step, "epoch": epoch, "steps_per_s": round(sps, 3)}
         rec.update({k: float(v) for k, v in metrics.items()})
         with open(self.metrics_path, "a") as f:
@@ -319,7 +321,11 @@ class Trainer:
             self.logger.warning("eval media logging failed: %s", e)
 
     def save(self, step: int):
+        # ALL processes enter the save: Orbax's CheckpointManager runs
+        # cross-process barriers in multiprocess mode (single-writer
+        # semantics internally) — a rank-0-only call deadlocks the
+        # shutdown barrier on pods
+        state = jax.device_get(self.state)
+        ckpt.save_checkpoint(self.model_dir, state, step)
         if jax.process_index() == 0:
-            state = jax.device_get(self.state)
-            ckpt.save_checkpoint(self.model_dir, state, step)
             self.logger.info("saved checkpoint at step %d", step)
