@@ -15,6 +15,13 @@ cmake --build native/build >/dev/null
 ./native/build/wav_test
 
 echo "== python tests =="
-python -m pytest tests/ -q
+# default: the fast suite (slow = multi-minute compile-heavy e2e tests:
+# overfit smoke, DP equivalence, recipe e2e, multihost, full-size parity).
+# `./ci.sh --full` runs everything — the per-round / nightly gate.
+if [ "${1:-}" = "--full" ]; then
+  python -m pytest tests/ -q
+else
+  python -m pytest tests/ -q -m "not slow"
+fi
 
 echo "CI OK"

@@ -13,6 +13,8 @@ raw_data_dir=.   # path to the DataBaker corpus
 data=data
 test_audio=test_audio
 train_args=""     # extra train flags, e.g. "--max_steps 2" for smoke runs
+val_size=100
+test_size=10
 
 . ../../tools/parse_options.sh || exit 1
 
@@ -37,10 +39,10 @@ if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
     grep -v 'sil' | awk '{print $0, NR}' >> $data/phones.txt
 
   shuf --random-source=<(yes 777) $data/all.txt > $data/train.txt
-  head -n 100 $data/train.txt > $data/val.txt
-  sed -i '1,100d' $data/train.txt
-  head -n 10 $data/train.txt > $data/test.txt
-  sed -i '1,10d' $data/train.txt
+  head -n $val_size $data/train.txt > $data/val.txt
+  sed -i "1,${val_size}d" $data/train.txt
+  head -n $test_size $data/train.txt > $data/test.txt
+  sed -i "1,${test_size}d" $data/train.txt
 fi
 
 if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then

@@ -20,17 +20,20 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # (text-with-#k, syllables) templates; char count == syllable count except
 # the erhua 儿 (merged into the previous syllable, prepare_data.py:60-74)
+# equal phone-sequence lengths across templates -> inference hits ONE
+# compiled bucket (wall-clock: each distinct padded shape is a fresh
+# XLA:CPU compile); template 3 exercises the erhua merge
 _TEMPLATES = [
     ("今天#1天气#2很好#4", "jin1 tian1 tian1 qi4 hen3 hao3"),
-    ("我们#1一起#2去公园#4", "wo3 men5 yi4 qi3 qu4 gong1 yuan2"),
-    ("他在#1那边#2好玩儿#4", "ta1 zai4 na4 bian1 hao3 wanr2"),
-    ("欢迎#1使用#2语音#1合成#4", "huan1 ying2 shi3 yong4 yu3 yin1 he2 cheng2"),
+    ("我们#1一起#2公园#4", "wo3 men5 yi4 qi3 gong1 yuan2"),
+    ("他在#1那边#2玩儿#4", "ta1 zai4 na4 bian1 wanr2"),
     ("小猫#1喜欢#2吃鱼#4", "xiao3 mao1 xi3 huan1 chi1 yu2"),
     ("明天#1可能#2下雨#4", "ming2 tian1 ke3 neng2 xia4 yu3"),
+    ("欢迎#1使用#2语音#4", "huan1 ying2 shi3 yong4 yu3 yin1"),
 ]
 
 
-def _make_corpus(root, n=126, sr=22050):
+def _make_corpus(root, n=36, sr=22050):
     wave_dir = root / "Wave"
     label_dir = root / "ProsodyLabeling"
     wave_dir.mkdir(parents=True)
@@ -88,21 +91,22 @@ def test_baker_recipe_stages_0_to_3(tmp_path):
          "--data", str(data), "--dir", str(exp),
          "--test_audio", str(test_audio),
          "--config", str(cfg_path),
+         "--val_size", "8", "--test_size", "3",
          "--train_args", "--max_steps 2 --no_donate --plain_decoder"],
         cwd=os.path.join(_REPO, "examples", "baker"),
         env=env, capture_output=True, text=True, timeout=2400)
     tail = proc.stdout[-3000:] + proc.stderr[-3000:]
     assert proc.returncode == 0, f"recipe failed:\n{tail}"
 
-    # stage 0: manifest + tables (126 utts -> 100 val / 10 test / 16 train)
+    # stage 0: manifest + tables (36 utts -> 8 val / 3 test / 25 train)
     all_lines = open(data / "all.txt", encoding="utf8").read().splitlines()
-    assert len(all_lines) == 126
+    assert len(all_lines) == 36
     assert all("|baker|sil " in line for line in all_lines)
     # the erhua template merged 儿 (no own syllable, marker moved)
     erhua = [ln for ln in all_lines if "000003" in ln][0]
     assert "#4" in erhua
-    assert len(open(data / "train.txt").read().splitlines()) == 16
-    assert len(open(data / "test.txt").read().splitlines()) == 10
+    assert len(open(data / "train.txt").read().splitlines()) == 25
+    assert len(open(data / "test.txt").read().splitlines()) == 3
     phones = open(data / "phones.txt").read().splitlines()
     assert phones[0] == "sil 0" and len(phones) > 20
 
@@ -113,9 +117,9 @@ def test_baker_recipe_stages_0_to_3(tmp_path):
     # Trainer writes Orbax step dirs directly under the run dir
     assert any(d.isdigit() for d in os.listdir(exp)), os.listdir(exp)
 
-    # stage 2: synthesized the 10 test utterances
+    # stage 2: synthesized the test utterances
     wavs = [f for f in os.listdir(test_audio) if f.endswith(".wav")]
-    assert len(wavs) == 10
+    assert len(wavs) == 3
     assert all(os.path.getsize(test_audio / w) > 1000 for w in wavs)
 
     # stage 3: exported bundle is loadable by the CLI Model

@@ -179,10 +179,14 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
         rngs = {"noise": noise_rng, "dropout": dropout_rng,
                 "slice": slice_rng}
 
+        metrics = {}
         if m.use_noise_scaled_mas:
             mas_noise_scale = jnp.maximum(
                 m.mas_noise_scale_initial
                 - m.noise_scale_delta * state.step.astype(jnp.float32), 0.0)
+            # logged like the reference's current_mas_noise_scale
+            # (train.py:375-380) so the schedule is observable
+            metrics["train/mas_noise_scale"] = mas_noise_scale
         else:
             mas_noise_scale = 0.0
 
@@ -213,7 +217,6 @@ def make_train_step(cfg: Config, net_g, net_d, net_dur_d, tx,
         params_d = optax.apply_updates(state.params_d, updates_d)
 
         # ---- duration discriminator update ----
-        metrics = {}
         params_dur_d, opt_dur_d = state.params_dur_d, state.opt_dur_d
         if net_dur_d is not None:
             def dur_d_loss_fn(p_h):
