@@ -306,7 +306,7 @@ def _extras():
 
     out = {}
     voc = run("vocos", ["bench.py", "--model", "vocos", "--no-extras",
-                        "--dtype", "bf16"])
+                        "--dtype", "bf16"], timeout=1500)
     out["vocos_audio_s_per_s"] = voc.get(
         "value", voc.get("error", "unavailable"))
     stream = run("stream", ["tools/bench_streaming.py", "--n_requests", "12"])

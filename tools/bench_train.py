@@ -91,7 +91,14 @@ def run_once(bf16: bool, batch_size: int, iters: int):
         "model_tflops_per_s": round(step_flops / dt / 1e12, 2),
     }
     if peak:
-        out["mfu_pct"] = round(100.0 * step_flops / dt / 1e12 / peak, 2)
+        mfu = 100.0 * step_flops / dt / 1e12 / peak
+        if mfu <= 100.0:
+            out["mfu_pct"] = round(mfu, 2)
+        else:
+            # XLA cost_analysis overcounts grad-of-conv FLOPs (transposed
+            # convs with padding-inflated dims), producing >peak numbers
+            # for training graphs; don't report a bogus utilization
+            out["xla_flops_overcounted"] = True
     return out
 
 
