@@ -232,3 +232,37 @@ def test_unknown_model_name_raises():
 
     with pytest.raises(KeyError):
         hub.get_model("nope")
+
+
+def test_onnx_release_without_config_uses_vendored(tmp_path, monkeypatch):
+    """The real runtime bundles ship NO config.json (final.onnx + tables
+    only — wetts/cli/model.py:24-41); Model must fall back to the vendored
+    release config. Exercised at test size by pointing the asset resolver
+    at a matching tiny config."""
+    import jax
+
+    from test_torch_parity import build_pair, small_cfg
+    from wetts_tpu.cli.model import Model
+
+    cfg = small_cfg()
+    tmodel, _jm, _vars = build_pair(cfg, seed=5)
+    tmodel.flow.remove_weight_norm()
+    tmodel.dec.remove_weight_norm()
+    sd = {k: v.detach().numpy().copy()
+          for k, v in tmodel.state_dict().items()
+          if not k.startswith("enc_q.") and not k.startswith("dp.flows.1.")}
+    bundle = tmp_path / "multilingual_vits_v3_onnx"
+    bundle.mkdir()
+    write_initializers_onnx(str(bundle / "final.onnx"), sd)
+    _write_tables(bundle)  # no config.json on purpose
+
+    cfg_file = tmp_path / "vendored.json"
+    with open(cfg_file, "w") as f:
+        json.dump(cfg.to_dict(), f)
+    import wetts_tpu.assets as assets_mod
+
+    monkeypatch.setattr(assets_mod, "asset_path",
+                        lambda *parts: str(cfg_file))
+    model = Model(str(bundle))
+    audio = model.synthesis("p1 p2 p3", "spk0")
+    assert audio.size > 0

@@ -144,7 +144,18 @@ def load_params_from_onnx(onnx_path: str, cfg: Config):
 
 class Model:
     def __init__(self, model_dir: str):
-        cfg = Config.from_json(os.path.join(model_dir, "config.json"))
+        cfg_path = os.path.join(model_dir, "config.json")
+        if (not os.path.exists(cfg_path)
+                and os.path.exists(os.path.join(model_dir, "final.onnx"))):
+            # the released runtime bundles carry no config.json (only
+            # final.onnx + tables — wetts/cli/model.py:24-41 never needs
+            # one; the ONNX graph bakes the architecture in). The released
+            # VITS runtime model is multilingual_vits_v3, so fall back to
+            # its training config, vendored under assets/.
+            from wetts_tpu.assets import asset_path
+
+            cfg_path = asset_path("configs", "multilingual_v3.json")
+        cfg = Config.from_json(cfg_path)
         phone2id = read_table(os.path.join(model_dir, "phones.txt"))
         speaker_path = os.path.join(model_dir, "speaker.txt")
         speaker2id = (read_table(speaker_path)
