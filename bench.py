@@ -27,7 +27,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed loop")
-    ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"],
+    ap.add_argument("--dtype", default="bf16",
+                    choices=["f32", "bf16", "int8"],
                     help="decoder compute dtype. Default bf16 — the "
                          "half-precision serving path (drift <~1e-3; "
                          "tests/test_hifigan_fast.py), an apples-to-apples "
@@ -112,7 +113,12 @@ def main():
         rngs, x[:2], xl[:2], spec, jnp.full((2,), 64, jnp.int32), sid[:2])
     m = cfg.model
 
-    dec_dtype = jnp.bfloat16 if cli.dtype == "bf16" else None
+    # int8 = dynamic-quantized decoder convs (hifigan only; the reference's
+    # published CPU number runs on a uint8-dynamically-quantized model)
+    dec_dtype = jnp.bfloat16 if cli.dtype in ("bf16", "int8") else None
+    dec_quant = cli.dtype == "int8"
+    if dec_quant and cli.model != "hifigan":
+        raise SystemExit("--dtype int8 requires --model hifigan")
 
     # Two-phase synthesis (mirrors serving/engine.py): encode at the static
     # MAX_FRAMES bound, then decode at the smallest frame BUCKET covering
@@ -158,6 +164,7 @@ def main():
             # see models/hifigan_fast.py + its tests)
             return fast_generator_apply(
                 variables["params"]["dec"], z, g, dtype=dec_dtype,
+                quantize=dec_quant,
                 resblock=m.resblock,
                 resblock_kernel_sizes=tuple(m.resblock_kernel_sizes),
                 resblock_dilation_sizes=tuple(

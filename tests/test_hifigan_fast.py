@@ -99,6 +99,47 @@ def test_fast_bf16_close_to_fp32():
     assert corr > 0.995, corr
 
 
+def test_fast_int8_close_to_fp32():
+    """int8 dynamically-quantized decoder tracks fp32.
+
+    The analog of the reference's uint8-dynamically-quantized serving
+    model (runtime/cpu_triton_stream/README.md measures its published RTF
+    on one): per-out-channel int8 weights, per-tensor dynamic activation
+    scales, int32 accumulation. Quantization noise must stay at the same
+    order as the bf16 path on a tanh-bounded waveform.
+    """
+    cfg_kwargs = dict(
+        initial_channel=48, resblock="1",
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3, 5),) * 2,
+        upsample_rates=(8, 8, 2, 2), upsample_initial_channel=256,
+        upsample_kernel_sizes=(16, 16, 4, 4))
+    g = Generator(gin_channels=16, **cfg_kwargs)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 20, 48)).astype(np.float32))
+    spk = jnp.asarray(rng.standard_normal((2, 1, 16)).astype(np.float32))
+    params = g.init({"params": KEY}, x, spk)
+
+    def run(**kw):
+        return np.asarray(fast_generator_apply(
+            params["params"], x, spk,
+            resblock=cfg_kwargs["resblock"],
+            resblock_kernel_sizes=cfg_kwargs["resblock_kernel_sizes"],
+            resblock_dilation_sizes=cfg_kwargs["resblock_dilation_sizes"],
+            upsample_rates=cfg_kwargs["upsample_rates"],
+            upsample_initial_channel=cfg_kwargs["upsample_initial_channel"],
+            upsample_kernel_sizes=cfg_kwargs["upsample_kernel_sizes"], **kw))
+
+    exact = run()
+    q8 = run(quantize=True)
+    assert q8.dtype == np.float32
+    assert np.isfinite(q8).all()
+    err = np.abs(q8 - exact).max()
+    assert err < 3e-2, err
+    corr = np.corrcoef(q8.ravel(), exact.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
 def test_fast_pallas_mrf_path_matches():
     """Full generator with the fused Pallas MRF stages (interpret mode on
     CPU) equals the XLA blocked path."""

@@ -22,6 +22,9 @@ def get_args():
     p.add_argument("--speaker_table", default=None)
     p.add_argument("--test_file", required=True)
     p.add_argument("--outdir", required=True)
+    p.add_argument("--precision", default="f32",
+                   choices=["f32", "bf16", "int8"],
+                   help="decoder precision (int8 = dynamic-quantized convs)")
     p.add_argument("--noise_scale", type=float, default=0.667)
     p.add_argument("--noise_scale_w", type=float, default=0.8)
     p.add_argument("--length_scale", type=float, default=1.0)
@@ -52,7 +55,8 @@ def main():
     engine = SynthesisEngine(
         cfg, params, phone2id, speaker2id, frontend=None,
         noise_scale=args.noise_scale, length_scale=args.length_scale,
-        noise_scale_w=args.noise_scale_w)
+        noise_scale_w=args.noise_scale_w,
+        half=args.precision == "bf16", quantize=args.precision == "int8")
 
     os.makedirs(args.outdir, exist_ok=True)
     sr = cfg.data.sampling_rate

@@ -143,7 +143,7 @@ def load_params_from_onnx(onnx_path: str, cfg: Config):
 
 
 class Model:
-    def __init__(self, model_dir: str):
+    def __init__(self, model_dir: str, precision: str = "f32"):
         cfg_path = os.path.join(model_dir, "config.json")
         if (not os.path.exists(cfg_path)
                 and os.path.exists(os.path.join(model_dir, "final.onnx"))):
@@ -179,9 +179,13 @@ class Model:
                 warnings.warn(f"frontend bundle unusable ({e}); "
                               "running in raw-phone input mode",
                               stacklevel=2)
+        # precision: "f32" exact | "bf16" half | "int8" dynamic-quantized
+        # decoder convs (the reference CLI serves a uint8-dynamically-
+        # quantized ONNX model — wetts/cli/hub.py releases)
         self.engine = SynthesisEngine(
             cfg, params, phone2id, speaker2id, frontend,
-            noise_scale=0.667, length_scale=1.0, noise_scale_w=0.8)
+            noise_scale=0.667, length_scale=1.0, noise_scale_w=0.8,
+            half=precision == "bf16", quantize=precision == "int8")
 
     @property
     def sample_rate(self) -> int:

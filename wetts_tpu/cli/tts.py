@@ -19,6 +19,12 @@ def get_args():
                              "bundle is fetched from the hub "
                              "(wetts/cli/tts.py:30-36 zero-config path)")
     parser.add_argument("--speaker", default=None, help="speaker name")
+    parser.add_argument("--precision", default="f32",
+                        choices=["f32", "bf16", "int8"],
+                        help="decoder serving precision: f32 exact, bf16 "
+                             "half, int8 dynamically-quantized convs (the "
+                             "analog of the reference's uint8-quantized "
+                             "runtime model)")
     return parser.parse_args()
 
 
@@ -32,7 +38,7 @@ def main():
         from wetts_tpu.cli.hub import get_default_model_dir
 
         model_dir = get_default_model_dir()
-    model = Model(model_dir)
+    model = Model(model_dir, precision=args.precision)
     audio = model.synthesis(args.text, args.speaker)
     write_wav(args.wav, audio, model.sample_rate)
     print(f"wrote {args.wav} ({audio.shape[0] / model.sample_rate:.2f}s)")

@@ -112,30 +112,61 @@ def blocked_tconv_kernel(wt: Array, u: int, pd: int, r_i: int, r_o: int):
     return wb, -m_min, m_max
 
 
-def _conv(x: Array, kernel: Array, pad_l: int, pad_r: int) -> Array:
+def _quantize_kernel(w: Array):
+    """[K, Ci, Co] float kernel -> (int8 kernel, per-Co float32 scale).
+
+    Symmetric per-output-channel weight quantization. The kernel is a
+    trace-time constant (folded from the param tree), so XLA constant-folds
+    this into an int8 weight constant — quantization costs nothing at run
+    time. The analog of ONNX Runtime's dynamic-quantization weight prep,
+    which is what the reference's published CPU serving numbers run on
+    (runtime/cpu_triton_stream/README.md: "quantized ONNX model").
+    """
+    w32 = w.astype(jnp.float32)
+    swc = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1)), 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(w32 / swc), -127, 127).astype(jnp.int8)
+    return wq, swc
+
+
+def _conv(x: Array, kernel: Array, pad_l: int, pad_r: int,
+          q8: bool = False, rhs_dilation=None, lhs_dilation=None) -> Array:
+    if q8:
+        # dynamic per-tensor activation quantization: scale from the live
+        # activation max (ORT DynamicQuantizeLinear analog), int8 x int8
+        # conv with int32 accumulation — 2x MXU peak on v5e vs bf16 —
+        # then dequantize by (act scale * per-channel weight scale).
+        sx = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32),
+                         1e-12) / 127.0
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+        wq, swc = _quantize_kernel(kernel)
+        y = jax.lax.conv_general_dilated(
+            xq, wq, (1,), [(pad_l, pad_r)],
+            rhs_dilation=rhs_dilation, lhs_dilation=lhs_dilation,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * (sx * swc)).astype(x.dtype)
     return jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (1,), [(pad_l, pad_r)],
+        rhs_dilation=rhs_dilation, lhs_dilation=lhs_dilation,
         dimension_numbers=("NWC", "WIO", "NWC"))
 
 
-def _plain_conv(x, p, padding, dilation=1):
+def _plain_conv(x, p, padding, dilation=1, q8=False):
     kernel = _fold_kernel(p)
-    y = jax.lax.conv_general_dilated(
-        x, kernel.astype(x.dtype), (1,), [(padding, padding)],
-        rhs_dilation=(dilation,), dimension_numbers=("NWC", "WIO", "NWC"))
+    y = _conv(x, kernel, padding, padding, q8=q8,
+              rhs_dilation=(dilation,))
     if "bias" in p:
         y = y + jnp.asarray(p["bias"]).astype(y.dtype)
     return y
 
 
-def _plain_tconv(x, p, stride, padding):
+def _plain_tconv(x, p, stride, padding, q8=False):
     w = _fold_kernel_transpose(p)  # [I, O, K]
     kernel = jnp.transpose(jnp.flip(w, axis=2), (2, 0, 1))
     k = kernel.shape[0]
     pad = k - 1 - padding
-    y = jax.lax.conv_general_dilated(
-        x, kernel.astype(x.dtype), (1,), [(pad, pad)],
-        lhs_dilation=(stride,), dimension_numbers=("NWC", "WIO", "NWC"))
+    y = _conv(x, kernel, pad, pad, q8=q8, lhs_dilation=(stride,))
     if "bias" in p:
         y = y + jnp.asarray(p["bias"]).astype(y.dtype)
     return y
@@ -145,8 +176,8 @@ def _get_padding(k, d=1):
     return (k * d - d) // 2
 
 
-def _blocked_resblock(x, params, kernel_size, dilations, r, resblock_kind):
-    ci = None  # channels inferred from kernels
+def _blocked_resblock(x, params, kernel_size, dilations, r, resblock_kind,
+                      q8=False):
     if resblock_kind == "1":
         for idx, d in enumerate(dilations):
             w1 = _fold_kernel(params[f"conv1_{idx}"])
@@ -155,10 +186,10 @@ def _blocked_resblock(x, params, kernel_size, dilations, r, resblock_kind):
             b2 = jnp.asarray(params[f"conv2_{idx}"]["bias"])
             xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
             wb, pl, pr = blocked_conv_kernel(w1, d, _get_padding(kernel_size, d), r)
-            xt = _conv(xt, wb, pl, pr) + jnp.tile(b1, r).astype(x.dtype)
+            xt = _conv(xt, wb, pl, pr, q8=q8) + jnp.tile(b1, r).astype(x.dtype)
             xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
             wb, pl, pr = blocked_conv_kernel(w2, 1, _get_padding(kernel_size, 1), r)
-            xt = _conv(xt, wb, pl, pr) + jnp.tile(b2, r).astype(x.dtype)
+            xt = _conv(xt, wb, pl, pr, q8=q8) + jnp.tile(b2, r).astype(x.dtype)
             x = x + xt
     else:
         for idx, d in enumerate(dilations):
@@ -166,7 +197,7 @@ def _blocked_resblock(x, params, kernel_size, dilations, r, resblock_kind):
             b = jnp.asarray(params[f"conv_{idx}"]["bias"])
             xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
             wb, pl, pr = blocked_conv_kernel(w, d, _get_padding(kernel_size, d), r)
-            xt = _conv(xt, wb, pl, pr) + jnp.tile(b, r).astype(x.dtype)
+            xt = _conv(xt, wb, pl, pr, q8=q8) + jnp.tile(b, r).astype(x.dtype)
             x = x + xt
     return x
 
@@ -183,6 +214,7 @@ def fast_generator_apply(
     upsample_kernel_sizes: Sequence[int],
     dtype=None,
     use_pallas_mrf: Optional[bool] = None,
+    quantize: bool = False,
 ) -> Array:
     """Same function as models.hifigan.Generator, space-to-depth tail.
 
@@ -192,6 +224,14 @@ def fast_generator_apply(
     HBM traffic of the elementwise-bound MRF tail; the output is cast back
     to float32). None keeps the input dtype (exact fp32 path). Weight-norm
     folding always happens in the params' own precision before the cast.
+    quantize: int8 dynamic quantization of the heavy convs (upsamples +
+    MRF resblocks): per-output-channel int8 weights (constant-folded at
+    compile time), per-tensor dynamic activation scales, int32 MXU
+    accumulation. The TPU analog of the uint8-dynamically-quantized ONNX
+    model behind the reference's published CPU serving numbers
+    (runtime/cpu_triton_stream/README.md). conv_pre/cond/conv_post stay in
+    `dtype` (negligible FLOPs; the waveform projection stays clean).
+    Drift vs fp32 is bounded in tests/test_hifigan_fast.py.
     """
     num_kernels = len(resblock_kernel_sizes)
     if use_pallas_mrf is None:
@@ -203,6 +243,8 @@ def fast_generator_apply(
         # as an exactness-verified alternative (models/mrf_pallas.py);
         # the XLA blocked path stays the default.
         use_pallas_mrf = False
+    if quantize and dtype is None:
+        dtype = jnp.bfloat16  # int8 path keeps its elementwise glue in bf16
     if dtype is not None:
         x = x.astype(dtype)
         g = g.astype(dtype) if g is not None else None
@@ -220,7 +262,7 @@ def fast_generator_apply(
             wt = _fold_kernel_transpose(up)
             wb, pl, pr = blocked_tconv_kernel(wt, u, (k - u) // 2, r, r * u)
             r = r * u
-            h = _conv(h, wb, pl, pr) + jnp.tile(
+            h = _conv(h, wb, pl, pr, q8=quantize) + jnp.tile(
                 jnp.asarray(up["bias"]), r).astype(h.dtype)
         elif ch < LANES and LANES % ch == 0 and (
                 u == LANES // ch
@@ -230,15 +272,15 @@ def fast_generator_apply(
             if u == r_o:
                 wt = _fold_kernel_transpose(up)
                 wb, pl, pr = blocked_tconv_kernel(wt, u, (k - u) // 2, 1, u)
-                h = _conv(h, wb, pl, pr) + jnp.tile(
+                h = _conv(h, wb, pl, pr, q8=quantize) + jnp.tile(
                     jnp.asarray(up["bias"]), u).astype(h.dtype)
             else:
-                h = _plain_tconv(h, up, u, (k - u) // 2)
+                h = _plain_tconv(h, up, u, (k - u) // 2, q8=quantize)
                 b, t, c = h.shape
                 h = h.reshape(b, t // r_o, c * r_o)
             r = r_o
         else:
-            h = _plain_tconv(h, up, u, (k - u) // 2)
+            h = _plain_tconv(h, up, u, (k - u) // 2, q8=quantize)
 
         if r > 1 and use_pallas_mrf:
             from wetts_tpu.models.mrf_pallas import mrf_stage_pallas
@@ -255,9 +297,11 @@ def fast_generator_apply(
                     zip(resblock_kernel_sizes, resblock_dilation_sizes)):
                 rp = dec_params[f"resblock_{i}_{j}"]
                 if r > 1:
-                    out = _blocked_resblock(h, rp, rk, rd, r, resblock)
+                    out = _blocked_resblock(h, rp, rk, rd, r, resblock,
+                                            q8=quantize)
                 else:
-                    out = _std_resblock(h, rp, rk, rd, resblock)
+                    out = _std_resblock(h, rp, rk, rd, resblock,
+                                        q8=quantize)
                 acc = out if acc is None else acc + out
             h = acc / num_kernels
 
@@ -275,20 +319,21 @@ def fast_generator_apply(
     return out.astype(jnp.float32) if dtype is not None else out
 
 
-def _std_resblock(x, params, kernel_size, dilations, resblock_kind):
+def _std_resblock(x, params, kernel_size, dilations, resblock_kind,
+                  q8=False):
     if resblock_kind == "1":
         for idx, d in enumerate(dilations):
             xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
             xt = _plain_conv(xt, params[f"conv1_{idx}"],
-                             _get_padding(kernel_size, d), d)
+                             _get_padding(kernel_size, d), d, q8=q8)
             xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
             xt = _plain_conv(xt, params[f"conv2_{idx}"],
-                             _get_padding(kernel_size, 1), 1)
+                             _get_padding(kernel_size, 1), 1, q8=q8)
             x = x + xt
     else:
         for idx, d in enumerate(dilations):
             xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
             xt = _plain_conv(xt, params[f"conv_{idx}"],
-                             _get_padding(kernel_size, d), d)
+                             _get_padding(kernel_size, d), d, q8=q8)
             x = x + xt
     return x

@@ -66,6 +66,7 @@ class SynthesisEngine:
         seed: int = 0,
         use_fast_decoder: bool = True,
         half: bool = False,
+        quantize: bool = False,
     ):
         self.cfg = cfg
         self.model = Synthesizer.from_config(cfg)
@@ -96,6 +97,12 @@ class SynthesisEngine:
         # published streaming RTF is measured on a dynamically-quantized
         # model, cpu_triton_stream/README.md): ~1.2x, waveform drift <~1e-3
         self.half = half and self.use_fast_decoder
+        # int8 dynamic quantization of the decoder convs (per-out-channel
+        # int8 weights constant-folded at compile time, per-tensor dynamic
+        # activation scales, int32 MXU accumulation) — the direct analog of
+        # the reference's uint8-quantized serving model. Drift bounds:
+        # tests/test_hifigan_fast.py::test_fast_int8_close_to_fp32
+        self.quantize = quantize and self.use_fast_decoder
 
     def _fast_decode(self, z, g):
         from wetts_tpu.models.hifigan_fast import fast_generator_apply
@@ -103,7 +110,8 @@ class SynthesisEngine:
         m = self.cfg.model
         return fast_generator_apply(
             self.params["params"]["dec"], z, g,
-            dtype=jnp.bfloat16 if self.half else None,
+            dtype=jnp.bfloat16 if (self.half or self.quantize) else None,
+            quantize=self.quantize,
             resblock=m.resblock,
             resblock_kernel_sizes=tuple(m.resblock_kernel_sizes),
             resblock_dilation_sizes=tuple(
