@@ -19,9 +19,9 @@ echo "== python tests =="
 # overfit smoke, DP equivalence, recipe e2e, multihost, full-size parity).
 # `./ci.sh --full` runs everything — the per-round / nightly gate.
 if [ "${1:-}" = "--full" ]; then
-  python -m pytest tests/ -q
+  python -m pytest tests/ -q --durations=15
 else
-  python -m pytest tests/ -q -m "not slow"
+  python -m pytest tests/ -q -m "not slow" --durations=15
 fi
 
 echo "CI OK"
