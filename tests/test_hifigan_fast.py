@@ -102,9 +102,9 @@ def test_fast_bf16_close_to_fp32():
 def test_fast_int8_close_to_fp32():
     """int8 dynamically-quantized decoder tracks fp32.
 
-    The analog of the reference's uint8-dynamically-quantized serving
-    model (runtime/cpu_triton_stream/README.md measures its published RTF
-    on one): per-out-channel int8 weights, per-tensor dynamic activation
+    The analog of the reference's optional uint8-dynamically-quantized
+    export (wetts/vits/export_onnx.py --quant, QUInt8 quantize_dynamic):
+    per-out-channel int8 weights, per-batch-row dynamic activation
     scales, int32 accumulation. Quantization noise must stay at the same
     order as the bf16 path on a tanh-bounded waveform.
     """
@@ -138,6 +138,44 @@ def test_fast_int8_close_to_fp32():
     assert err < 3e-2, err
     corr = np.corrcoef(q8.ravel(), exact.ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+def test_fast_int8_batch_isolation():
+    """A loud batch-mate must not change a quiet row's int8 output.
+
+    Activation scales are per batch row (not per tensor, ORT's choice), so
+    in batched serving one loud utterance cannot raise the quantization
+    noise floor for every quiet request sharing the batch. The quiet row,
+    batched next to a 100x-louder one, must decode identically to the
+    quiet row alone.
+    """
+    cfg_kwargs = dict(
+        initial_channel=48, resblock="1",
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3, 5),) * 2,
+        upsample_rates=(8, 8, 2, 2), upsample_initial_channel=256,
+        upsample_kernel_sizes=(16, 16, 4, 4))
+    g = Generator(gin_channels=16, **cfg_kwargs)
+    rng = np.random.default_rng(3)
+    quiet = rng.standard_normal((1, 20, 48)).astype(np.float32)
+    loud = 100.0 * rng.standard_normal((1, 20, 48)).astype(np.float32)
+    spk = jnp.asarray(rng.standard_normal((1, 1, 16)).astype(np.float32))
+    params = g.init({"params": KEY}, jnp.asarray(quiet), spk)
+
+    def run(x, spk_b):
+        return np.asarray(fast_generator_apply(
+            params["params"], jnp.asarray(x), spk_b, quantize=True,
+            resblock=cfg_kwargs["resblock"],
+            resblock_kernel_sizes=cfg_kwargs["resblock_kernel_sizes"],
+            resblock_dilation_sizes=cfg_kwargs["resblock_dilation_sizes"],
+            upsample_rates=cfg_kwargs["upsample_rates"],
+            upsample_initial_channel=cfg_kwargs["upsample_initial_channel"],
+            upsample_kernel_sizes=cfg_kwargs["upsample_kernel_sizes"]))
+
+    alone = run(quiet, spk)
+    batched = run(np.concatenate([quiet, loud]),
+                  jnp.concatenate([spk, spk]))[:1]
+    np.testing.assert_allclose(batched, alone, atol=1e-6)
 
 
 def test_fast_pallas_mrf_path_matches():

@@ -65,10 +65,13 @@ def main():
     model = Synthesizer.from_config(cfg)
     rng = jax.random.PRNGKey(0)
     rngs = {"params": rng, "noise": rng, "dropout": rng, "slice": rng}
-    variables = model.init(
+    # jitted init: eager init through a remote-attached TPU is thousands
+    # of ~30-50ms RPCs; one compiled program is seconds
+    variables = jax.jit(model.init)(
         rngs, jnp.ones((1, 8), jnp.int32), jnp.array([8]),
         jnp.zeros((1, 36, cfg.data.spec_channels)), jnp.array([36]),
         jnp.array([0]))
+    jax.block_until_ready(variables)
 
     phones = [f"p{i}" for i in range(60)]
     phone2id = {"sil": 0, **{p: i + 1 for i, p in enumerate(phones)}}

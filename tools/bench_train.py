@@ -50,7 +50,11 @@ def run_once(bf16: bool, batch_size: int, iters: int):
     net_g, net_d, net_dur_d, _ = build_models(cfg)
     tx = optax.adamw(2e-4, b1=0.8, b2=0.99, eps=1e-9)
     rng = jax.random.PRNGKey(0)
-    state = init_state(cfg, rng, net_g, net_d, net_dur_d, tx)
+    # jitted init: eager init through a remote-attached TPU is thousands
+    # of ~30-50ms RPCs; one compiled program is seconds
+    state = jax.jit(
+        lambda r: init_state(cfg, r, net_g, net_d, net_dur_d, tx))(rng)
+    jax.block_until_ready(state.params_g)
     step = jax.jit(make_train_step(cfg, net_g, net_d, net_dur_d, tx),
                    donate_argnums=(0,))
 

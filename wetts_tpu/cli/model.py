@@ -180,8 +180,8 @@ class Model:
                               "running in raw-phone input mode",
                               stacklevel=2)
         # precision: "f32" exact | "bf16" half | "int8" dynamic-quantized
-        # decoder convs (the reference CLI serves a uint8-dynamically-
-        # quantized ONNX model — wetts/cli/hub.py releases)
+        # decoder convs (the analog of the reference's optional uint8
+        # quantize_dynamic export, wetts/vits/export_onnx.py --quant)
         self.engine = SynthesisEngine(
             cfg, params, phone2id, speaker2id, frontend,
             noise_scale=0.667, length_scale=1.0, noise_scale_w=0.8,

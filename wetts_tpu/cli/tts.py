@@ -23,8 +23,8 @@ def get_args():
                         choices=["f32", "bf16", "int8"],
                         help="decoder serving precision: f32 exact, bf16 "
                              "half, int8 dynamically-quantized convs (the "
-                             "analog of the reference's uint8-quantized "
-                             "runtime model)")
+                             "analog of the reference's optional uint8 "
+                             "quantized export, export_onnx.py --quant)")
     return parser.parse_args()
 
 

@@ -119,8 +119,8 @@ def _quantize_kernel(w: Array):
     trace-time constant (folded from the param tree), so XLA constant-folds
     this into an int8 weight constant — quantization costs nothing at run
     time. The analog of ONNX Runtime's dynamic-quantization weight prep,
-    which is what the reference's published CPU serving numbers run on
-    (runtime/cpu_triton_stream/README.md: "quantized ONNX model").
+    the reference's optional quantized-export path
+    (wetts/vits/export_onnx.py --quant: QUInt8 quantize_dynamic).
     """
     w32 = w.astype(jnp.float32)
     swc = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1)), 1e-12) / 127.0
@@ -131,12 +131,16 @@ def _quantize_kernel(w: Array):
 def _conv(x: Array, kernel: Array, pad_l: int, pad_r: int,
           q8: bool = False, rhs_dilation=None, lhs_dilation=None) -> Array:
     if q8:
-        # dynamic per-tensor activation quantization: scale from the live
-        # activation max (ORT DynamicQuantizeLinear analog), int8 x int8
-        # conv with int32 accumulation — 2x MXU peak on v5e vs bf16 —
-        # then dequantize by (act scale * per-channel weight scale).
-        sx = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32),
-                         1e-12) / 127.0
+        # dynamic activation quantization: scale from the live activation
+        # max (ORT DynamicQuantizeLinear analog, but per BATCH ROW rather
+        # than per tensor — in batched serving a per-tensor scale would let
+        # one loud utterance raise the quantization noise floor for every
+        # quiet batch-mate; the [B,1,1] broadcast costs nothing), int8 x
+        # int8 conv with int32 accumulation — then dequantize by
+        # (row act scale * per-channel weight scale).
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True)
+            .astype(jnp.float32), 1e-12) / 127.0
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
                       -127, 127).astype(jnp.int8)
         wq, swc = _quantize_kernel(kernel)
@@ -227,9 +231,9 @@ def fast_generator_apply(
     quantize: int8 dynamic quantization of the heavy convs (upsamples +
     MRF resblocks): per-output-channel int8 weights (constant-folded at
     compile time), per-tensor dynamic activation scales, int32 MXU
-    accumulation. The TPU analog of the uint8-dynamically-quantized ONNX
-    model behind the reference's published CPU serving numbers
-    (runtime/cpu_triton_stream/README.md). conv_pre/cond/conv_post stay in
+    accumulation. The TPU analog of the reference's optional
+    uint8-dynamically-quantized ONNX export
+    (wetts/vits/export_onnx.py --quant). conv_pre/cond/conv_post stay in
     `dtype` (negligible FLOPs; the waveform projection stays clean).
     Drift vs fp32 is bounded in tests/test_hifigan_fast.py.
     """

@@ -93,16 +93,25 @@ class SynthesisEngine:
         # ~1.8x decoder throughput on TPU (lane-padding elimination)
         self.use_fast_decoder = (use_fast_decoder
                                  and cfg.model.vocoder_type == "hifigan")
-        # bf16 decoder (the uint8-quantized-serving analog — the reference's
-        # published streaming RTF is measured on a dynamically-quantized
-        # model, cpu_triton_stream/README.md): ~1.2x, waveform drift <~1e-3
+        # bf16 decoder (reduced-precision serving, the analog of the
+        # reference's optional uint8 quantize_dynamic export,
+        # wetts/vits/export_onnx.py --quant): ~1.2x, waveform drift <~1e-3
         self.half = half and self.use_fast_decoder
         # int8 dynamic quantization of the decoder convs (per-out-channel
         # int8 weights constant-folded at compile time, per-tensor dynamic
         # activation scales, int32 MXU accumulation) — the direct analog of
-        # the reference's uint8-quantized serving model. Drift bounds:
+        # the reference's optional uint8-quantized export. Drift bounds:
         # tests/test_hifigan_fast.py::test_fast_int8_close_to_fp32
         self.quantize = quantize and self.use_fast_decoder
+        if (half or quantize) and not self.use_fast_decoder:
+            # bench.py raises for this combination; the serving path keeps
+            # running but must not let the user believe they measured a
+            # reduced-precision decoder when they got the f32 one
+            logger.warning(
+                "half/quantize requested but the fast decoder is "
+                "unavailable (vocoder_type=%s, use_fast_decoder=%s); "
+                "serving the f32 decoder instead",
+                cfg.model.vocoder_type, use_fast_decoder)
 
     def _fast_decode(self, z, g):
         from wetts_tpu.models.hifigan_fast import fast_generator_apply
