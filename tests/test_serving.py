@@ -77,6 +77,29 @@ def test_long_clause_synthesis(engine):
     assert len(audios) == 10
 
 
+def test_on_device_bucketing_matches_two_phase(engine):
+    """Single-dispatch lax.switch synthesis == two-phase host-sync path.
+
+    The switch engine picks the decode-frame bucket on-device; z is masked
+    beyond y_lengths, so the covering-bucket decode must reproduce the
+    two-phase path's waveform per request (same seed -> same encode rng).
+    """
+    switch_eng = SynthesisEngine(
+        engine.cfg, engine.params, engine.phone2id, engine.speaker2id,
+        on_device_bucketing=True)
+    batch = [[1, 2, 3, 1], [2, 3], [1, 1, 2, 3, 1, 2]]
+    sids = [0, 1, 0]
+    # align the noise stream: the module-scoped engine's rng has advanced
+    engine._rng = jax.random.PRNGKey(123)
+    switch_eng._rng = jax.random.PRNGKey(123)
+    want = engine.synthesize_ids_batch(batch, sids)
+    got = switch_eng.synthesize_ids_batch(batch, sids)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, w, atol=2e-5)
+
+
 def test_long_clause_through_server(engine):
     from wetts_tpu.serving.server import TtsServer
 

@@ -143,7 +143,8 @@ def load_params_from_onnx(onnx_path: str, cfg: Config):
 
 
 class Model:
-    def __init__(self, model_dir: str, precision: str = "f32"):
+    def __init__(self, model_dir: str, precision: str = "f32",
+                 on_device_bucketing: bool = False):
         cfg_path = os.path.join(model_dir, "config.json")
         if (not os.path.exists(cfg_path)
                 and os.path.exists(os.path.join(model_dir, "final.onnx"))):
@@ -185,7 +186,8 @@ class Model:
         self.engine = SynthesisEngine(
             cfg, params, phone2id, speaker2id, frontend,
             noise_scale=0.667, length_scale=1.0, noise_scale_w=0.8,
-            half=precision == "bf16", quantize=precision == "int8")
+            half=precision == "bf16", quantize=precision == "int8",
+            on_device_bucketing=on_device_bucketing)
 
     @property
     def sample_rate(self) -> int:

@@ -25,6 +25,13 @@ def get_args():
                              "half, int8 dynamically-quantized convs (the "
                              "analog of the reference's optional uint8 "
                              "quantized export, export_onnx.py --quant)")
+    parser.add_argument("--on-device-bucketing", action="store_true",
+                        help="single-dispatch synthesis: the decode-frame "
+                             "bucket is chosen on-device (lax.switch) "
+                             "instead of via a host sync between encode "
+                             "and decode — worth ~30-50ms/request on "
+                             "remote-attached chips, at the cost of a "
+                             "larger one-time compile per text bucket")
     return parser.parse_args()
 
 
@@ -38,7 +45,8 @@ def main():
         from wetts_tpu.cli.hub import get_default_model_dir
 
         model_dir = get_default_model_dir()
-    model = Model(model_dir, precision=args.precision)
+    model = Model(model_dir, precision=args.precision,
+                  on_device_bucketing=args.on_device_bucketing)
     audio = model.synthesis(args.text, args.speaker)
     write_wav(args.wav, audio, model.sample_rate)
     print(f"wrote {args.wav} ({audio.shape[0] / model.sample_rate:.2f}s)")

@@ -67,6 +67,7 @@ class SynthesisEngine:
         use_fast_decoder: bool = True,
         half: bool = False,
         quantize: bool = False,
+        on_device_bucketing: bool = False,
     ):
         self.cfg = cfg
         self.model = Synthesizer.from_config(cfg)
@@ -103,6 +104,16 @@ class SynthesisEngine:
         # the reference's optional uint8-quantized export. Drift bounds:
         # tests/test_hifigan_fast.py::test_fast_int8_close_to_fp32
         self.quantize = quantize and self.use_fast_decoder
+        # single-dispatch batch synthesis: the decode-frame bucket is
+        # chosen ON-DEVICE by lax.switch instead of by a host scalar sync
+        # between the encode and decode dispatches. Exact (z is masked
+        # beyond y_lengths, so any covering bucket decodes the true region
+        # identically; tests/test_serving.py::test_on_device_bucketing).
+        # Worth ~30-50ms/request on remote-attached (tunneled) chips —
+        # bench.py --dispatch switch measured 2.2x — at the cost of one
+        # larger compile per text bucket (every frame-bucket branch in one
+        # executable), so it stays opt-in for host-attached serving.
+        self.on_device_bucketing = on_device_bucketing
         if (half or quantize) and not self.use_fast_decoder:
             # bench.py raises for this combination; the serving path keeps
             # running but must not let the user believe they measured a
@@ -236,6 +247,17 @@ class SynthesisEngine:
                 x[row, : len(ids)] = ids
                 xl[row] = len(ids)
                 sid_arr[row] = sid
+            if self.on_device_bucketing:
+                # single dispatch; the frame bucket is resolved on-device
+                run = self._synth_switch_fn(text_pad, max_frames)
+                with self.stage_times.stage("synth"):
+                    audio, y_len = run(
+                        jnp.asarray(x), jnp.asarray(xl),
+                        jnp.asarray(sid_arr), self._next_rng())
+                    audio = np.asarray(audio)
+                    y_len = np.asarray(jax.device_get(y_len))
+                return [audio[i, : int(y_len[i]) * self.hop, 0]
+                        for i in range(n)]
             # two-phase synthesis: encode at the (text, frames) bucket,
             # then decode at the smallest FRAME bucket covering the batch's
             # true lengths. The decoder is ~93% of inference time and the
@@ -289,6 +311,48 @@ class SynthesisEngine:
                     self.params, x, xl, sid, ns, ls, nsw, max_frames,
                     method=Synthesizer.encode_infer, rngs={"noise": rng})
                 return z, y_len, g
+
+            self._encode_cache[key] = run
+        return self._encode_cache[key]
+
+    def _synth_switch_fn(self, text_pad: int, max_frames: int):
+        """Jitted single-dispatch synthesis: encode + on-device bucketed
+        decode (lax.switch over every FRAME_BUCKETS branch <= max_frames).
+        Returns (audio [B, max_frames*hop, 1], y_lengths)."""
+        key = ("switch", text_pad, max_frames)
+        if key not in self._encode_cache:
+            ns, ls, nsw = self.scales
+            branches = tuple(
+                b for b in FRAME_BUCKETS if b <= max_frames)
+            if not branches or branches[-1] != max_frames:
+                branches = branches + (max_frames,)
+            bounds = jnp.asarray(branches[:-1], jnp.int32)
+            decode_body = (self._fast_decode if self.use_fast_decoder
+                           else lambda z, g: self.model.apply(
+                               self.params, z, g,
+                               method=Synthesizer.decode))
+            hop = self.hop
+
+            @jax.jit
+            def run(x, xl, sid, rng):
+                z, y_len, y_mask, attn, g = self.model.apply(
+                    self.params, x, xl, sid, ns, ls, nsw, max_frames,
+                    method=Synthesizer.encode_infer, rngs={"noise": rng})
+                need = jnp.minimum(jnp.max(y_len) + DECODE_MARGIN,
+                                   max_frames)
+                idx = jnp.sum((need > bounds).astype(jnp.int32))
+
+                def mk(fb):
+                    def f(z, g):
+                        audio = decode_body(z[:, :fb], g)
+                        return jnp.pad(
+                            audio,
+                            ((0, 0), (0, (max_frames - fb) * hop), (0, 0)))
+                    return f
+
+                audio = jax.lax.switch(idx, [mk(fb) for fb in branches],
+                                       z, g)
+                return audio, y_len
 
             self._encode_cache[key] = run
         return self._encode_cache[key]
