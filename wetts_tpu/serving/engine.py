@@ -254,8 +254,14 @@ class SynthesisEngine:
                     audio, y_len = run(
                         jnp.asarray(x), jnp.asarray(xl),
                         jnp.asarray(sid_arr), self._next_rng())
+                    # async d2h: a plain np.asarray fetch through a
+                    # tunnel-attached chip degrades to chunked synchronous
+                    # RPCs (measured ~8s for 245KB vs ~40ms after
+                    # copy_to_host_async)
+                    audio.copy_to_host_async()
+                    y_len.copy_to_host_async()
                     audio = np.asarray(audio)
-                    y_len = np.asarray(jax.device_get(y_len))
+                    y_len = np.asarray(y_len)
                 return [audio[i, : int(y_len[i]) * self.hop, 0]
                         for i in range(n)]
             # two-phase synthesis: encode at the (text, frames) bucket,
@@ -275,7 +281,9 @@ class SynthesisEngine:
             fb = self._frame_bucket(int(y_len.max()), max_frames)
             dec = self._decode_fn(fb)
             with self.stage_times.stage("decode"):
-                audio = np.asarray(dec(z[:, :fb], g))
+                audio = dec(z[:, :fb], g)
+                audio.copy_to_host_async()  # see switch-path note above
+                audio = np.asarray(audio)
             return [audio[i, : int(y_len[i]) * self.hop, 0]
                     for i in range(n)]
 
@@ -436,6 +444,12 @@ class SynthesisEngine:
             for chunk, idx in chunk_schedule(t, block, pad):
                 audio = decode(z, g, jnp.asarray(idx))
                 pending.append((chunk, audio))
+            # start every device->host copy now: transfers pipeline with
+            # the still-executing decode queue and with each other, so the
+            # fetch loop below pays ~one round-trip total instead of one
+            # per chunk (a ~60ms RTT on a tunnel-attached chip)
+            for _, audio in pending:
+                audio.copy_to_host_async()
             for chunk, audio in pending:
                 with self.stage_times.stage("decode_chunk"):
                     host = np.asarray(audio)[:, :, 0]
