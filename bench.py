@@ -72,8 +72,8 @@ def main():
                          "— the padding-waste saving with no host sync. "
                          "Exact: z is masked beyond y_lengths, so "
                          "decoding at the covering bucket is bit-identical "
-                         "on the true region. Default: switch for hifigan, "
-                         "fused for vocos.")
+                         "on the true region. Default: switch (a quick "
+                         "fused safety line prints first).")
     ap.add_argument("--bucketed", action="store_true",
                     help="alias for --dispatch bucketed")
     ap.add_argument("--model", default="hifigan",
@@ -100,8 +100,7 @@ def main():
                          "output, because extras ran before the print)")
     cli = ap.parse_args()
     if cli.dispatch is None:
-        cli.dispatch = ("bucketed" if cli.bucketed
-                        else "switch" if cli.model == "hifigan" else "fused")
+        cli.dispatch = "bucketed" if cli.bucketed else "switch"
     # persistent compile cache: repeat bench runs skip the device compiles
     # (the jaxlib 0.9.0 cache crash is specific to mesh-sharded+donated
     # executables on XLA:CPU — these are plain single-device programs)
@@ -252,8 +251,6 @@ def main():
         keys = [jax.random.PRNGKey(i) for i in range(10)]
         iters = len(keys)
         if cli.dispatch == "switch":
-            if cli.model != "hifigan":
-                raise SystemExit("--dispatch switch requires --model hifigan")
             # ONE dispatch; the decode bucket is chosen ON-DEVICE by lax.switch
             # (only the selected branch executes on TPU — a conditional in HLO,
             # not a select), so the ~3x padding-waste saving of bucketed decode
@@ -373,8 +370,10 @@ def main():
                  "v6e": 918.0, "v6 lite": 918.0}
         peak = next((v for k, v in peaks.items() if k in kind), None)
         if cli.dispatch == "switch":
+            dec_flops_fn = (_vocos_dec_flops if cli.model == "vocos"
+                            else _dec_conv_flops)
             total_flops = enc_flops * iters + sum(
-                _dec_conv_flops(m, B, fb) for fb in buckets)
+                dec_flops_fn(m, B, fb) for fb in buckets)
         elif cli.dispatch == "bucketed":
             total_flops = enc_flops * iters + sum(dec_flops[fb]
                                                   for fb in buckets)
@@ -457,6 +456,24 @@ def _dec_conv_flops(m, batch, frames):
     return float(flops)
 
 
+def _vocos_dec_flops(m, batch, frames):
+    """Analytic FLOPs (2*MACs) of the Vocos decoder at `frames` input
+    frames: in_conv/ConvNeXt/out_conv 1x1+depthwise convs plus the iSTFT
+    irfft matmul (models/vocos.py; elementwise ops and the overlap-add
+    excluded). Validated against XLA's count of the plain graph in
+    tests/test_bench_flops.py."""
+    t = frames + 1  # ReflectionPad([1, 0])
+    ch, h = m.vocos_channels, m.vocos_h_channels
+    out_ch = m.vocos_out_channels
+    n_fft = m.vocos_istft_config["n_fft"]
+    fl = 2 * batch * t * m.inter_channels * ch  # in_conv 1x1
+    # per ConvNeXt layer: depthwise k=3 + two pointwise
+    fl += m.vocos_num_layers * 2 * batch * t * (ch * 3 + 2 * ch * h)
+    fl += 2 * batch * t * ch * out_ch  # out_conv 1x1
+    fl += 2 * batch * t * out_ch * n_fft  # irfft as one matmul
+    return float(fl)
+
+
 def _extras(budget):
     """Secondary benches folded into the driver line, each a bounded
     subprocess of the corresponding tool (tools/bench_streaming.py,
@@ -496,6 +513,7 @@ def _extras(budget):
         "p50_ms", stream.get("error", "unavailable"))
     out["stream_first_chunk_ms_p99"] = stream.get("p99_ms")
     out["stream_rtf"] = stream.get("streaming_rtf")
+    out["host_device_rtt_ms"] = stream.get("host_device_rtt_ms")
     voc = run("vocos", ["bench.py", "--model", "vocos", "--no-extras",
                         "--dtype", "bf16"])
     out["vocos_audio_s_per_s"] = voc.get(

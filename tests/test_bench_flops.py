@@ -65,6 +65,47 @@ def test_dec_conv_flops_matches_xla(frames):
     assert xla_flops <= analytic * 1.10, (analytic, xla_flops)
 
 
+def test_vocos_dec_flops_matches_xla():
+    from bench import _vocos_dec_flops
+
+    from wetts_tpu.models.vocos import VocosGenerator
+
+    class M:
+        inter_channels = 48
+        vocos_channels = 64
+        vocos_h_channels = 192
+        vocos_out_channels = 130  # 2 * (128 // 2 + 1)
+        vocos_num_layers = 3
+        vocos_istft_config = {"n_fft": 128, "hop_length": 32,
+                              "win_length": 128}
+
+    m = M()
+    batch, frames = 2, 64
+    voc = VocosGenerator(
+        m.inter_channels, m.vocos_channels, m.vocos_h_channels,
+        m.vocos_out_channels, m.vocos_num_layers,
+        istft_n_fft=128, istft_hop_length=32, istft_win_length=128,
+        gin_channels=0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(
+        (batch, frames, m.inter_channels)).astype(np.float32))
+    params = voc.init({"params": jax.random.PRNGKey(0)}, x, None)
+
+    @jax.jit
+    def dec(z):
+        return voc.apply(params, z, None)
+
+    compiled = dec.lower(x).compile()
+    xla_flops = float(compiled.cost_analysis().get("flops", 0.0))
+    assert xla_flops > 0
+    analytic = _vocos_dec_flops(m, batch, frames)
+    # elementwise tail + overlap-add adds are excluded from the analytic
+    # count; they are a larger share of this thin decoder than of
+    # HiFi-GAN's, so the band is wider
+    assert analytic <= xla_flops * 1.02, (analytic, xla_flops)
+    assert xla_flops <= analytic * 1.25, (analytic, xla_flops)
+
+
 def test_fast_decoder_executes_more_flops_than_algorithmic():
     """Pin the design fact the MFU bases rest on: the space-to-depth
     decoder EXECUTES more FLOPs than the algorithmic count (it pays

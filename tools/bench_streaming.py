@@ -106,6 +106,19 @@ def main():
             total_audio += len(piece) / sr
         total_wall += time.perf_counter() - t0
 
+    # host<->device round-trip latency: on a remote-attached (tunneled)
+    # chip this floors the per-chunk fetch, so wall RTF ~= n_chunks*RTT /
+    # audio regardless of decode speed. Reported so the artifact
+    # self-explains: a host-attached chip has RTT in the tens of
+    # microseconds and the same executables stream at compute speed.
+    probe = jax.jit(lambda v: v + 1)
+    x0 = jnp.zeros((16,))
+    probe(x0).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        np.asarray(probe(x0))
+    rtt_ms = (time.perf_counter() - t0) / 10 * 1000
+
     rep = first.report()["first_chunk"]
     chunk = inter.report().get("chunk", {"mean_ms": 0.0})
     print(json.dumps({
@@ -114,6 +127,7 @@ def main():
         "p99_ms": round(rep["p99_ms"], 2),
         "mean_interchunk_ms": round(chunk["mean_ms"], 2),
         "streaming_rtf": round(total_wall / max(total_audio, 1e-9), 5),
+        "host_device_rtt_ms": round(rtt_ms, 2),
         "reference_cpu": {"first_chunk_ms": 211, "rtf": 0.15},
         "n_requests": args.n_requests,
     }))
