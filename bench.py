@@ -33,6 +33,11 @@ import time
 
 _T0 = time.monotonic()
 
+# persistent compile cache shared by the main process and every extras
+# subprocess (repeat runs — including the driver's end-of-round run —
+# skip the multi-minute device compiles)
+_CACHE_DIR = "/tmp/wetts_jax_cache_dev"
+
 
 def _mark(msg):
     """Progress marks on stderr (stdout stays machine-parseable): lets the
@@ -76,6 +81,10 @@ def main():
                          "fused safety line prints first).")
     ap.add_argument("--bucketed", action="store_true",
                     help="alias for --dispatch bucketed")
+    ap.add_argument("--no-safety-line", action="store_true",
+                    help="in switch mode, skip the quick fused pass whose "
+                         "JSON line insures against a driver timeout "
+                         "during the (much longer) cold switch compile")
     ap.add_argument("--model", default="hifigan",
                     choices=["hifigan", "vocos"],
                     help="hifigan = VITS-base (baker v1.json); vocos = the "
@@ -99,12 +108,15 @@ def main():
                          "last line (round-3 regression: rc=124, no "
                          "output, because extras ran before the print)")
     cli = ap.parse_args()
+    if cli.bucketed and cli.dispatch not in (None, "bucketed"):
+        raise SystemExit(
+            f"--bucketed contradicts --dispatch {cli.dispatch}")
     if cli.dispatch is None:
         cli.dispatch = "bucketed" if cli.bucketed else "switch"
     # persistent compile cache: repeat bench runs skip the device compiles
     # (the jaxlib 0.9.0 cache crash is specific to mesh-sharded+donated
     # executables on XLA:CPU — these are plain single-device programs)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/wetts_jax_cache_dev")
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from wetts_tpu.config import Config
     from wetts_tpu.models.synthesizer import Synthesizer
@@ -414,7 +426,7 @@ def main():
     # 6-branch switch graph takes ~19 min cold (both near-instant via the
     # persistent cache), so a driver timeout mid-switch-compile still
     # leaves a parseable fused line.
-    if cli.dispatch == "switch":
+    if cli.dispatch == "switch" and not cli.no_safety_line:
         cli.dispatch = "fused"
         safety = _run_current_mode()
         print(json.dumps(safety), flush=True)
@@ -490,8 +502,16 @@ def _extras(budget):
     # share the persistent compile cache with subprocesses so repeat bench
     # runs (and the driver's end-of-round run) skip the big compiles
     env = {**os.environ,
-           "JAX_COMPILATION_CACHE_DIR": "/tmp/wetts_jax_cache_dev",
+           "JAX_COMPILATION_CACHE_DIR": _CACHE_DIR,
            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "1.0"}
+
+    def _last_json_line(text):
+        for line in reversed((text or "").strip().splitlines()):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+        return None
 
     def run(name, argv):
         remaining = deadline - time.monotonic()
@@ -502,8 +522,19 @@ def _extras(budget):
             proc = subprocess.run([sys.executable, *argv], cwd=here,
                                   capture_output=True, text=True, env=env,
                                   timeout=remaining)
-            line = proc.stdout.strip().splitlines()[-1]
-            return json.loads(line)
+            return _last_json_line(proc.stdout) or {
+                "error": f"{name}: no JSON output"}
+        except subprocess.TimeoutExpired as e:
+            # salvage any progressively-printed safety line (the vocos
+            # sub-bench prints a fused measurement before its long switch
+            # compile — a timeout mid-compile still measured something)
+            partial = _last_json_line(
+                e.stdout.decode() if isinstance(e.stdout, bytes)
+                else e.stdout)
+            if partial is not None:
+                partial["partial"] = "timeout mid-run"
+                return partial
+            return {"error": f"{name}: TimeoutExpired"}
         except Exception as e:  # noqa: BLE001 - extras are best-effort
             return {"error": f"{name}: {type(e).__name__}"}
 

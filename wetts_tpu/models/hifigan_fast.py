@@ -230,7 +230,7 @@ def fast_generator_apply(
     folding always happens in the params' own precision before the cast.
     quantize: int8 dynamic quantization of the heavy convs (upsamples +
     MRF resblocks): per-output-channel int8 weights (constant-folded at
-    compile time), per-tensor dynamic activation scales, int32 MXU
+    compile time), per-batch-row dynamic activation scales, int32 MXU
     accumulation. The TPU analog of the reference's optional
     uint8-dynamically-quantized ONNX export
     (wetts/vits/export_onnx.py --quant). conv_pre/cond/conv_post stay in

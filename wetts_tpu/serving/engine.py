@@ -99,8 +99,8 @@ class SynthesisEngine:
         # wetts/vits/export_onnx.py --quant): ~1.2x, waveform drift <~1e-3
         self.half = half and self.use_fast_decoder
         # int8 dynamic quantization of the decoder convs (per-out-channel
-        # int8 weights constant-folded at compile time, per-tensor dynamic
-        # activation scales, int32 MXU accumulation) — the direct analog of
+        # int8 weights constant-folded at compile time, per-batch-row
+        # dynamic activation scales, int32 MXU accumulation) — the analog of
         # the reference's optional uint8-quantized export. Drift bounds:
         # tests/test_hifigan_fast.py::test_fast_int8_close_to_fp32
         self.quantize = quantize and self.use_fast_decoder
@@ -258,10 +258,15 @@ class SynthesisEngine:
                     # tunnel-attached chip degrades to chunked synchronous
                     # RPCs (measured ~8s for 245KB vs ~40ms after
                     # copy_to_host_async)
-                    audio.copy_to_host_async()
                     y_len.copy_to_host_async()
-                    audio = np.asarray(audio)
                     y_len = np.asarray(y_len)
+                    # transfer only the realized bucket, not the
+                    # max_frames padding (the device-side slice is a tiny
+                    # shape-cached dispatch; the padding is ~3x the bytes)
+                    fb = self._frame_bucket(int(y_len.max()), max_frames)
+                    audio = audio[:, : fb * self.hop]
+                    audio.copy_to_host_async()
+                    audio = np.asarray(audio)
                 return [audio[i, : int(y_len[i]) * self.hop, 0]
                         for i in range(n)]
             # two-phase synthesis: encode at the (text, frames) bucket,
@@ -277,7 +282,8 @@ class SynthesisEngine:
                 z, y_len, g = run_enc(
                     jnp.asarray(x), jnp.asarray(xl), jnp.asarray(sid_arr),
                     self._next_rng())
-                y_len = np.asarray(jax.device_get(y_len))
+                y_len.copy_to_host_async()
+                y_len = np.asarray(y_len)
             fb = self._frame_bucket(int(y_len.max()), max_frames)
             dec = self._decode_fn(fb)
             with self.stage_times.stage("decode"):
