@@ -100,6 +100,17 @@ def test_on_device_bucketing_matches_two_phase(engine):
         np.testing.assert_allclose(g, w, atol=2e-5)
 
 
+def test_on_device_bucketing_with_int8(engine):
+    """lax.switch branches compile and run with the dynamically-quantized
+    decoder inside (per-branch jnp.max activation scales under a
+    conditional)."""
+    eng = SynthesisEngine(
+        engine.cfg, engine.params, engine.phone2id, engine.speaker2id,
+        quantize=True, on_device_bucketing=True)
+    out = eng.synthesize_ids_batch([[1, 2, 3]], [0])
+    assert out[0].size > 0 and np.isfinite(out[0]).all()
+
+
 def test_long_clause_through_server(engine):
     from wetts_tpu.serving.server import TtsServer
 

@@ -79,11 +79,16 @@ def run_once(bf16: bool, batch_size: int, iters: int):
     state, metrics = compiled(state, batch, jax.random.PRNGKey(1))  # warmup
     jax.block_until_ready(metrics)
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = compiled(state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(metrics)
-    dt = (time.perf_counter() - t0) / iters
+    # best-of-3 passes: transient tunnel latency spikes can inflate a
+    # single pass through a remote-attached chip (see bench.py's timed
+    # loop); the minimum reflects the chip
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = compiled(state, batch, jax.random.PRNGKey(i))
+        jax.block_until_ready(metrics)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     kind = jax.devices()[0].device_kind.lower()
     peaks = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
              "v6e": 918.0, "v6 lite": 918.0}
