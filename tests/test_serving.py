@@ -100,6 +100,40 @@ def test_on_device_bucketing_matches_two_phase(engine):
         np.testing.assert_allclose(g, w, atol=2e-5)
 
 
+def test_on_device_bucketing_speakerless():
+    """lax.switch branches accept g=None (speakerless, gin_channels=0 —
+    the LJSpeech-style single-speaker bundle shape)."""
+    import jax.numpy as jnp
+
+    from wetts_tpu.config import Config
+    from wetts_tpu.models.synthesizer import Synthesizer
+
+    cfg = Config.from_dict({
+        "train": {"segment_size": 2048},
+        "data": {"filter_length": 256, "hop_length": 64, "win_length": 256,
+                 "sampling_rate": 8000},
+        "model": {
+            "inter_channels": 16, "hidden_channels": 16,
+            "filter_channels": 32, "n_heads": 2, "n_layers": 1,
+            "kernel_size": 3, "p_dropout": 0.1, "resblock": "1",
+            "resblock_kernel_sizes": [3],
+            "resblock_dilation_sizes": [[1, 3]],
+            "upsample_rates": [4, 4, 2, 2], "upsample_initial_channel": 32,
+            "upsample_kernel_sizes": [8, 8, 4, 4], "gin_channels": 0,
+        },
+        "num_phones": 16, "num_speakers": 0})
+    model = Synthesizer.from_config(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "noise": rng, "dropout": rng, "slice": rng},
+        jnp.ones((1, 8), jnp.int32), jnp.array([8]),
+        jnp.zeros((1, 36, cfg.data.spec_channels)), jnp.array([36]), None)
+    eng = SynthesisEngine(cfg, variables, {"sil": 0, "a": 1, "b": 2}, None,
+                          on_device_bucketing=True)
+    out = eng.synthesize_ids_batch([[1, 2, 1]], [0])
+    assert out[0].size > 0 and np.isfinite(out[0]).all()
+
+
 def test_on_device_bucketing_with_int8(engine):
     """lax.switch branches compile and run with the dynamically-quantized
     decoder inside (per-branch jnp.max activation scales under a
