@@ -31,6 +31,9 @@ import os
 import sys
 import time
 
+import jax
+import jax.numpy as jnp
+
 _T0 = time.monotonic()
 
 # persistent compile cache shared by the main process and every extras
@@ -44,9 +47,6 @@ def _mark(msg):
     driver log show WHERE a timed-out bench run spent its budget."""
     print(f"[bench {time.monotonic() - _T0:6.1f}s] {msg}",
           file=sys.stderr, flush=True)
-
-import jax
-import jax.numpy as jnp
 
 
 def main():
