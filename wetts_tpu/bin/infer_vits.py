@@ -31,6 +31,10 @@ def get_args():
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler (TensorBoard/Perfetto) "
                         "trace of the synthesis loop")
+    p.add_argument("--on_device_bucketing", action="store_true",
+                   help="single-dispatch synthesis: decode-frame bucket "
+                        "chosen on-device by lax.switch (no host sync "
+                        "between encode and decode; see serving engine)")
     return p.parse_args()
 
 
@@ -56,7 +60,8 @@ def main():
         cfg, params, phone2id, speaker2id, frontend=None,
         noise_scale=args.noise_scale, length_scale=args.length_scale,
         noise_scale_w=args.noise_scale_w,
-        half=args.precision == "bf16", quantize=args.precision == "int8")
+        half=args.precision == "bf16", quantize=args.precision == "int8",
+        on_device_bucketing=args.on_device_bucketing)
 
     os.makedirs(args.outdir, exist_ok=True)
     sr = cfg.data.sampling_rate
