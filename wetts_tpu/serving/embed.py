@@ -37,12 +37,24 @@ def _apply_platform_env() -> None:
 
 
 def init(model_dir: str) -> int:
-    """Load a model bundle directory; returns the sample rate."""
+    """Load a model bundle directory; returns the sample rate.
+
+    Env steering (the native binaries own only flag files, so serving
+    options cross the ABI as environment variables):
+    WETTS_PRECISION={f32,bf16,int8} and WETTS_ON_DEVICE_BUCKETING=1
+    map to the same options as the Python CLI's --precision /
+    --on-device-bucketing.
+    """
     global _MODEL
     _apply_platform_env()
     from wetts_tpu.cli.model import Model
 
-    _MODEL = Model(model_dir)
+    _MODEL = Model(
+        model_dir,
+        precision=os.environ.get("WETTS_PRECISION", "f32"),
+        on_device_bucketing=os.environ.get(
+            "WETTS_ON_DEVICE_BUCKETING", "").lower() not in
+        ("", "0", "false"))
     return int(_MODEL.sample_rate)
 
 
