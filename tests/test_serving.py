@@ -89,11 +89,17 @@ def test_on_device_bucketing_matches_two_phase(engine):
         on_device_bucketing=True)
     batch = [[1, 2, 3, 1], [2, 3], [1, 1, 2, 3, 1, 2]]
     sids = [0, 1, 0]
-    # align the noise stream: the module-scoped engine's rng has advanced
-    engine._rng = jax.random.PRNGKey(123)
-    switch_eng._rng = jax.random.PRNGKey(123)
-    want = engine.synthesize_ids_batch(batch, sids)
-    got = switch_eng.synthesize_ids_batch(batch, sids)
+    # align the noise stream: the module-scoped engine's rng has advanced.
+    # Restore it afterwards so later tests' noise streams don't depend on
+    # execution order.
+    saved_rng = engine._rng
+    try:
+        engine._rng = jax.random.PRNGKey(123)
+        switch_eng._rng = jax.random.PRNGKey(123)
+        want = engine.synthesize_ids_batch(batch, sids)
+        got = switch_eng.synthesize_ids_batch(batch, sids)
+    finally:
+        engine._rng = saved_rng
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert g.shape == w.shape
@@ -143,6 +149,72 @@ def test_on_device_bucketing_with_int8(engine):
         quantize=True, on_device_bucketing=True)
     out = eng.synthesize_ids_batch([[1, 2, 3]], [0])
     assert out[0].size > 0 and np.isfinite(out[0]).all()
+
+
+def test_auto_bucketing_resolves_false_on_host_attached(engine):
+    """`on_device_bucketing="auto"` probes the host<->device RTT; on a
+    host-attached backend (CPU here, microsecond round-trips) the probe
+    must pick the cheap-compile two-phase path."""
+    assert engine.on_device_bucketing is False
+
+
+def _noise_free_engine(engine, **kw):
+    """Engine with noise_scale=noise_scale_w=0: synthesis is a
+    deterministic function of the text, so differently-batched paths can
+    be compared sample-for-sample."""
+    return SynthesisEngine(
+        engine.cfg, engine.params, engine.phone2id, engine.speaker2id,
+        noise_scale=0.0, noise_scale_w=0.0, **kw)
+
+
+def test_stream_batch_tail_matches_per_chunk(engine):
+    """Batched-tail streaming (O(1) decode dispatches + fetches per
+    utterance) yields the same chunks as the one-dispatch-per-chunk path:
+    same chunk boundaries, same samples (the tail stack decodes the same
+    gathered windows, just stacked on the batch axis)."""
+    per_chunk = _noise_free_engine(engine, stream_batch_tail=False)
+    batched = _noise_free_engine(engine, stream_batch_tail=True)
+    # 3 clauses -> one batched encode + first-chunk + one tail stack
+    text = "a b c a. c b a c. b b c a b."
+    pa = list(per_chunk.stream_synthesize(text, "spk0", block=8, pad=2))
+    pb = list(batched.stream_synthesize(text, "spk0", block=8, pad=2))
+    assert len(pa) == len(pb)
+    assert len(pb) >= 3  # multiple chunks actually streamed
+    for want, got in zip(pa, pb):
+        assert want.shape == got.shape
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_stream_batch_tail_single_clause(engine):
+    """Single-clause utterances (tail possibly empty) stream correctly."""
+    eng = _noise_free_engine(engine, stream_batch_tail=True)
+    ref = _noise_free_engine(engine, stream_batch_tail=False)
+    for text in ("a", "a b c a b c a b"):
+        got = list(eng.stream_synthesize(text, "spk0", block=8, pad=2))
+        want = list(ref.stream_synthesize(text, "spk0", block=8, pad=2))
+        assert len(got) == len(want)
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(g, w, atol=2e-5)
+
+
+def test_batcher_composes_with_on_device_bucketing(engine):
+    """DynamicBatcher dispatch through the lax.switch single-dispatch
+    engine (the auto-enabled serving configuration on tunnel-attached
+    chips)."""
+    from wetts_tpu.serving.batcher import DynamicBatcher
+
+    eng = SynthesisEngine(
+        engine.cfg, engine.params, engine.phone2id, engine.speaker2id,
+        on_device_bucketing=True)
+    batcher = DynamicBatcher(eng, max_delay_s=0.02)
+    try:
+        futs = [batcher.submit(ids, sid) for ids, sid in
+                [([1, 2, 3], 0), ([2, 3], 1), ([1, 1, 2, 3], 0)]]
+        outs = [f.result(timeout=300) for f in futs]
+        for audio in outs:
+            assert audio.size > 0 and np.isfinite(audio).all()
+    finally:
+        batcher.shutdown()
 
 
 def test_long_clause_through_server(engine):

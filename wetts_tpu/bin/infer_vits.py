@@ -31,10 +31,13 @@ def get_args():
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler (TensorBoard/Perfetto) "
                         "trace of the synthesis loop")
-    p.add_argument("--on_device_bucketing", action="store_true",
+    p.add_argument("--on_device_bucketing", default="auto",
+                   choices=["auto", "on", "off"],
                    help="single-dispatch synthesis: decode-frame bucket "
                         "chosen on-device by lax.switch (no host sync "
-                        "between encode and decode; see serving engine)")
+                        "between encode and decode; see serving engine). "
+                        "auto probes the host<->device RTT and enables it "
+                        "on remote-attached chips")
     return p.parse_args()
 
 
@@ -61,7 +64,8 @@ def main():
         noise_scale=args.noise_scale, length_scale=args.length_scale,
         noise_scale_w=args.noise_scale_w,
         half=args.precision == "bf16", quantize=args.precision == "int8",
-        on_device_bucketing=args.on_device_bucketing)
+        on_device_bucketing=("auto" if args.on_device_bucketing == "auto"
+                             else args.on_device_bucketing == "on"))
 
     os.makedirs(args.outdir, exist_ok=True)
     sr = cfg.data.sampling_rate

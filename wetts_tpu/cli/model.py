@@ -144,7 +144,12 @@ def load_params_from_onnx(onnx_path: str, cfg: Config):
 
 class Model:
     def __init__(self, model_dir: str, precision: str = "f32",
-                 on_device_bucketing: bool = False):
+                 on_device_bucketing="auto"):
+        if precision not in ("f32", "bf16", "int8"):
+            # an unrecognized value would silently fall through to the f32
+            # decoder below; an operator who typed "int-8" must find out
+            raise ValueError(
+                f"precision must be one of f32/bf16/int8, got {precision!r}")
         cfg_path = os.path.join(model_dir, "config.json")
         if (not os.path.exists(cfg_path)
                 and os.path.exists(os.path.join(model_dir, "final.onnx"))):

@@ -25,14 +25,21 @@ def get_args():
                              "half, int8 dynamically-quantized convs (the "
                              "analog of the reference's optional uint8 "
                              "quantized export, export_onnx.py --quant)")
-    parser.add_argument("--on-device-bucketing", action="store_true",
+    parser.add_argument("--on-device-bucketing", default="auto",
+                        choices=["auto", "on", "off"],
                         help="single-dispatch synthesis: the decode-frame "
                              "bucket is chosen on-device (lax.switch) "
                              "instead of via a host sync between encode "
                              "and decode — worth ~30-50ms/request on "
                              "remote-attached chips, at the cost of a "
-                             "larger one-time compile per text bucket")
+                             "larger one-time compile per text bucket. "
+                             "auto (default) probes the host<->device RTT "
+                             "and enables it on remote-attached chips")
     return parser.parse_args()
+
+
+def _odb(value: str):
+    return "auto" if value == "auto" else value == "on"
 
 
 def main():
@@ -46,7 +53,7 @@ def main():
 
         model_dir = get_default_model_dir()
     model = Model(model_dir, precision=args.precision,
-                  on_device_bucketing=args.on_device_bucketing)
+                  on_device_bucketing=_odb(args.on_device_bucketing))
     audio = model.synthesis(args.text, args.speaker)
     write_wav(args.wav, audio, model.sample_rate)
     print(f"wrote {args.wav} ({audio.shape[0] / model.sample_rate:.2f}s)")

@@ -41,20 +41,24 @@ def init(model_dir: str) -> int:
 
     Env steering (the native binaries own only flag files, so serving
     options cross the ABI as environment variables):
-    WETTS_PRECISION={f32,bf16,int8} and WETTS_ON_DEVICE_BUCKETING=1
-    map to the same options as the Python CLI's --precision /
-    --on-device-bucketing.
+    WETTS_PRECISION={f32,bf16,int8} and
+    WETTS_ON_DEVICE_BUCKETING={auto,1,0} map to the same options as the
+    Python CLI's --precision / --on-device-bucketing (Model validates the
+    precision value; a typo raises instead of silently serving f32).
     """
     global _MODEL
     _apply_platform_env()
     from wetts_tpu.cli.model import Model
 
+    odb_env = os.environ.get("WETTS_ON_DEVICE_BUCKETING", "auto").lower()
+    if odb_env in ("auto", ""):
+        odb = "auto"  # engine probes the host<->device RTT
+    else:
+        odb = odb_env not in ("0", "false")
     _MODEL = Model(
         model_dir,
         precision=os.environ.get("WETTS_PRECISION", "f32"),
-        on_device_bucketing=os.environ.get(
-            "WETTS_ON_DEVICE_BUCKETING", "").lower() not in
-        ("", "0", "false"))
+        on_device_bucketing=odb)
     return int(_MODEL.sample_rate)
 
 

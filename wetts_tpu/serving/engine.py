@@ -50,6 +50,45 @@ FRAME_BUCKETS = (96, 192, 288, 384, 576, 768, 1152, 1536, 2304)
 # frames of conv context beyond the longest utterance so the decode
 # boundary never touches real audio (reference streaming pad, vits_model.h)
 DECODE_MARGIN = 10
+# batch buckets for the streaming tail decode: all chunks after the first
+# are stacked on the batch axis into one dispatch; the stack is padded to
+# one of these sizes so at most len(STREAM_TAIL_BUCKETS) executables compile
+STREAM_TAIL_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+# host<->device round-trip threshold above which the engine auto-enables
+# the single-dispatch lax.switch path: a host-attached chip round-trips in
+# tens of microseconds, a remote-attached (tunneled) chip in tens of ms
+AUTO_RTT_THRESHOLD_MS = 1.0
+_RTT_CACHE: Dict[str, float] = {}
+
+
+def probe_host_device_rtt_ms(n: int = 5) -> float:
+    """Measured host<->device round-trip latency (ms), cached per backend.
+
+    The reference makes its batching strategy a deploy-time config
+    (gpu_triton config.pbtxt dynamic_batching); here the deploy-time fact
+    that matters is whether the chip is host-attached (RTT ~ tens of us;
+    per-dispatch host syncs are free) or tunnel-attached (RTT ~ tens of
+    ms; every sync costs more than the decode). Probed once per process.
+    """
+    import time
+
+    backend = jax.default_backend()
+    if backend not in _RTT_CACHE:
+        probe = jax.jit(lambda v: v + 1)
+        x = jnp.zeros((16,))
+        np.asarray(probe(x))  # compile + first transfer
+        t0 = time.perf_counter()
+        for _ in range(n):
+            np.asarray(probe(x))
+        _RTT_CACHE[backend] = (time.perf_counter() - t0) / n * 1000.0
+    return _RTT_CACHE[backend]
+
+
+def _tail_bucket(n: int) -> int:
+    for b in STREAM_TAIL_BUCKETS:
+        if n <= b:
+            return b
+    return STREAM_TAIL_BUCKETS[-1]
 
 
 class SynthesisEngine:
@@ -67,7 +106,8 @@ class SynthesisEngine:
         use_fast_decoder: bool = True,
         half: bool = False,
         quantize: bool = False,
-        on_device_bucketing: bool = False,
+        on_device_bucketing="auto",
+        stream_batch_tail: bool = True,
     ):
         self.cfg = cfg
         self.model = Synthesizer.from_config(cfg)
@@ -112,8 +152,25 @@ class SynthesisEngine:
         # Worth ~30-50ms/request on remote-attached (tunneled) chips —
         # bench.py --dispatch switch measured 2.2x — at the cost of one
         # larger compile per text bucket (every frame-bucket branch in one
-        # executable), so it stays opt-in for host-attached serving.
-        self.on_device_bucketing = on_device_bucketing
+        # executable). Default "auto": probe the host<->device RTT once and
+        # enable the switch path exactly when the sync it removes is
+        # expensive (tunnel-attached chips), keeping the cheap-compile
+        # two-phase path on host-attached/CPU backends.
+        if on_device_bucketing == "auto":
+            rtt = probe_host_device_rtt_ms()
+            on_device_bucketing = rtt > AUTO_RTT_THRESHOLD_MS
+            logger.info(
+                "host<->device RTT %.3f ms -> on_device_bucketing=%s",
+                rtt, on_device_bucketing)
+        self.on_device_bucketing = bool(on_device_bucketing)
+        # streaming: stack every chunk after the first on the batch axis
+        # into ONE decode dispatch + ONE device->host fetch (the chunks are
+        # independent by construction). O(1) dispatches per utterance
+        # instead of O(n_chunks) — the difference between RTF ~0.38 and
+        # ~0.05 through a tunnel-attached chip where each round-trip is
+        # ~30 ms. The first chunk still decodes alone, preserving
+        # first-chunk latency.
+        self.stream_batch_tail = stream_batch_tail
         if (half or quantize) and not self.use_fast_decoder:
             # bench.py raises for this combination; the serving path keeps
             # running but must not let the user believe they measured a
@@ -408,6 +465,31 @@ class SynthesisEngine:
             self._decode_cache[key] = run
         return self._decode_cache[key]
 
+    def _decode_rows_fn(self):
+        """Jitted batched chunk decode: row r of the output decodes the
+        fixed-shape window z[rows[r], idx[r]] — the whole streaming tail
+        (all chunks of all clauses after the first) in ONE dispatch and
+        ONE device->host fetch. jax.jit caches per input shape, so padding
+        the stack to STREAM_TAIL_BUCKETS bounds the executable count."""
+        key = "rows"
+        if key not in self._decode_cache:
+            if self.use_fast_decoder:
+                def decode_body(z, g):
+                    return self._fast_decode(z, g)
+            else:
+                def decode_body(z, g):
+                    return self.model.apply(
+                        self.params, z, g, method=Synthesizer.decode)
+
+            @jax.jit
+            def run(z, g, rows, idx):
+                zc = z[rows[:, None], idx]  # [NT, full, C]
+                gc = None if g is None else g[rows]
+                return decode_body(zc, gc)
+
+            self._decode_cache[key] = run
+        return self._decode_cache[key]
+
     def stream_synthesize(
         self,
         text: str,
@@ -425,7 +507,98 @@ class SynthesisEngine:
 
     def _stream_synthesize(self, text, speaker, block, pad):
         sid = self.speaker_id(speaker)
-        for sentence in sentence_segment(text, MAX_CLAUSE_LEN) or [text]:
+        sentences = sentence_segment(text, MAX_CLAUSE_LEN) or [text]
+        if self.stream_batch_tail:
+            from wetts_tpu.serving.batcher import BATCH_BUCKETS
+
+            ids_list = []
+            for sentence in sentences:
+                with self.stage_times.stage("frontend"):
+                    ids = self.text_to_phone_ids(sentence)
+                if not ids:
+                    continue  # skip failed segments (tts.cc:104-120)
+                ids_list.append(ids[: TEXT_BUCKETS[-1]])
+            for lo in range(0, len(ids_list), BATCH_BUCKETS[-1]):
+                yield from self._stream_group(
+                    ids_list[lo: lo + BATCH_BUCKETS[-1]], sid, block, pad)
+            return
+        yield from self._stream_per_chunk(sentences, sid, block, pad)
+
+    def _stream_group(self, ids_list: List[List[int]], sid: int,
+                      block: int, pad: int) -> Iterator[np.ndarray]:
+        """O(1)-dispatch streaming of one clause group.
+
+        One batched encode over every clause; the global first chunk
+        decodes alone (first-chunk latency = encode + one chunk decode +
+        one fetch); every remaining chunk of every clause is stacked on
+        the BATCH axis into one decode dispatch and one async
+        device->host fetch. The chunks are independent by construction
+        (the reference decodes them in separate ONNX calls,
+        inference_onnx.py:139-158), so stacking is exact up to conv batch
+        math; tests/test_serving.py::test_stream_batch_tail_*."""
+        from wetts_tpu.serving.batcher import batch_bucket
+
+        n = len(ids_list)
+        if n == 0:
+            return
+        b_pad = batch_bucket(n)
+        text_pad, max_frames = self._bucket(max(len(i) for i in ids_list))
+        x = np.zeros((b_pad, text_pad), np.int32)
+        xl = np.ones((b_pad,), np.int32)
+        sid_arr = np.full((b_pad,), sid, np.int32)
+        for row, ids in enumerate(ids_list):
+            x[row, : len(ids)] = ids
+            xl[row] = len(ids)
+        encode = self._encode_fn(text_pad, max_frames)
+        with self.stage_times.stage("encode"):
+            z, y_len, g = encode(
+                jnp.asarray(x), jnp.asarray(xl), jnp.asarray(sid_arr),
+                self._next_rng())
+            y_len.copy_to_host_async()
+            y_len = np.asarray(y_len)  # the single scalar host sync
+        entries = []  # flat (row, Chunk, gather indices) over all clauses
+        for row in range(n):
+            t = int(y_len[row])
+            if t <= 0:
+                continue
+            for chunk, idx in chunk_schedule(t, block, pad):
+                entries.append((row, chunk, idx))
+        if not entries:
+            return
+        decode = self._decode_rows_fn()
+        # group 0 = the global first chunk alone; the rest in
+        # STREAM_TAIL_BUCKETS-sized stacks (typically one)
+        groups = [entries[:1]]
+        tail = entries[1:]
+        while tail:
+            take = min(len(tail), STREAM_TAIL_BUCKETS[-1])
+            groups.append(tail[:take])
+            tail = tail[take:]
+        dispatched = []
+        for grp in groups:
+            nt = _tail_bucket(len(grp))
+            rows = np.fromiter((r for r, _, _ in grp), np.int32, len(grp))
+            rows = np.concatenate(
+                [rows, np.full(nt - len(grp), rows[-1], np.int32)])
+            idxm = np.stack([i for _, _, i in grp]
+                            + [grp[-1][2]] * (nt - len(grp)))
+            dispatched.append(
+                (grp, decode(z, g, jnp.asarray(rows), jnp.asarray(idxm))))
+        # start every device->host copy now: the transfers pipeline with
+        # the still-executing decode queue and with each other
+        for _, audio in dispatched:
+            audio.copy_to_host_async()
+        for grp, audio in dispatched:
+            with self.stage_times.stage("decode_chunk"):
+                host = np.asarray(audio)[:, :, 0]  # [NT, full*hop]
+            for k, (_, meta, _) in enumerate(grp):
+                yield depad_audio(host[k: k + 1], meta, block, pad,
+                                  self.hop)[0]
+
+    def _stream_per_chunk(self, sentences, sid, block, pad):
+        """One decode dispatch per chunk (the pre-batched-tail path; kept
+        as the exactness oracle and for `stream_batch_tail=False`)."""
+        for sentence in sentences:
             with self.stage_times.stage("frontend"):
                 ids = self.text_to_phone_ids(sentence)
             if not ids:
