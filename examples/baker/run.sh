@@ -5,7 +5,7 @@
 
 set -e
 stage=0
-stop_stage=3
+stop_stage=4
 
 dir=exp/v1
 config=configs/v1.json
@@ -69,4 +69,14 @@ if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
     --phone_table $data/phones.txt \
     --model_dir $dir \
     --out_dir $dir/bundle
+fi
+
+if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ]; then
+  # quality gate: mel-cepstral distortion (DTW-aligned, c0-excluded) of
+  # the synthesized test set against the corpus recordings — the runnable
+  # replacement for the reference's listen-only check
+  # (reference examples/baker/run.sh:83-88)
+  python -m wetts_tpu.bin.eval_mcd \
+    --test_file $data/test.txt \
+    --gen_dir $test_audio | tee $dir/mcd.json
 fi

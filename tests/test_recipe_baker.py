@@ -86,7 +86,7 @@ def test_baker_recipe_stages_0_to_3(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.run(
         ["bash", "run.sh",
-         "--stage", "0", "--stop_stage", "3",
+         "--stage", "0", "--stop_stage", "4",
          "--raw_data_dir", str(tmp_path),
          "--data", str(data), "--dir", str(exp),
          "--test_audio", str(test_audio),
@@ -129,3 +129,10 @@ def test_baker_recipe_stages_0_to_3(tmp_path):
     model = Model(str(bundle))
     audio = model.synthesis("sil j in1 t ian1 #4", "baker")
     assert audio.size > 0
+
+    # stage 4: the MCD quality gate ran over the test split (a 2-step
+    # model scores badly, but the number must exist and be finite)
+    mcd = json.loads(open(exp / "mcd.json").read())
+    assert mcd["metric"] == "mel_cepstral_distortion_db"
+    assert mcd["n_pairs"] == 3
+    assert np.isfinite(mcd["mean"])
