@@ -119,6 +119,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from wetts_tpu.config import Config
+    from wetts_tpu.utils.sync import hard_block
     from wetts_tpu.models.synthesizer import Synthesizer
 
     model_cfg = {
@@ -187,7 +188,7 @@ def main():
     # streaming pad context). The decoder is ~93% of inference time and the
     # static bound over-pads ~3x, so bucketing decode is the single biggest
     # honest-throughput lever.
-    FRAME_BUCKETS = (96, 192, 288, 384, 576, 800)
+    FRAME_BUCKETS = (96, 192, 288, 384, 480, 576, 672, 800)
 
     @jax.jit
     def encode(x, xl, sid, key):
@@ -298,7 +299,7 @@ def main():
             # analytic conv count, exact for the executed branch)
             enc_c = encode.lower(x, xl, sid, keys[0]).compile()
             enc_flops = _cost_flops(enc_c)
-            jax.block_until_ready(switch_c(x, xl, sid, keys[0]))
+            hard_block(switch_c(x, xl, sid, keys[0]))
             _mark("switch graph compiled + warm")
         elif cli.dispatch == "bucketed":
             enc_c = encode.lower(x, xl, sid, keys[0]).compile()
@@ -327,7 +328,7 @@ def main():
         else:
             fused_c = infer_fused.lower(x, xl, sid, keys[0]).compile()
             fused_flops = _cost_flops(fused_c)
-            jax.block_until_ready(fused_c(x, xl, sid, keys[0]))
+            hard_block(fused_c(x, xl, sid, keys[0]))
             _mark("fused graph compiled + warm")
 
         from wetts_tpu.utils.profiling import device_trace
@@ -356,7 +357,13 @@ def main():
                 audios = [a for a, _ in outs]
                 lengths = [yl for _, yl in outs]
                 buckets = [MAX_FRAMES] * iters
-            jax.block_until_ready(audios)
+            # hard sync, not block_until_ready: through the axon tunnel,
+            # block_until_ready returns before the device has executed
+            # the queue (measured: 8 chained 8192^3 matmuls "done" in
+            # 0.09 ms = impossible 103,000 TF/s; a scalar fetch of the
+            # same result took 77 ms = 86% of v5e peak). A data-dependent
+            # scalar fetch is the only trustworthy barrier.
+            hard_block(audios)
             return time.perf_counter() - t0, lengths, buckets
 
         trace = (device_trace(cli.profile) if cli.profile
@@ -405,7 +412,7 @@ def main():
             total_flops = fused_flops * iters
         achieved_tflops = total_flops / dt / 1e12
         # FLOP basis differs by mode: fused/bucketed report XLA-counted
-        # EXECUTED FLOPs (the space-to-depth decoder executes ~2.5x the
+        # EXECUTED FLOPs (the space-to-depth decoder executes ~1.5x the
         # algorithmic conv FLOPs to fill the 128 MXU lanes, so this measures
         # hardware utilization); switch reports ALGORITHMIC model FLOPs
         # (analytic conv count for the executed branch — the stricter MFU

@@ -21,7 +21,12 @@ echo "== python tests =="
 if [ "${1:-}" = "--full" ]; then
   python -m pytest tests/ -q --durations=15
 else
-  python -m pytest tests/ -q -m "not slow" --durations=15
+  # -n 2 --dist loadfile: the fast suite is XLA:CPU-compile-bound and
+  # compiles are mostly single-threaded, so two workers nearly halve the
+  # wall time on this 2-core host; loadfile keeps each module's scoped
+  # fixtures (compiled engines/models) on one worker
+  python -m pytest tests/ -q -m "not slow" -n 2 --dist loadfile \
+    --durations=15
 fi
 
 echo "CI OK"

@@ -4,7 +4,8 @@
 cannot attribute FLOPs to the one executed lax.switch branch), so the
 analytic count is only honest if it matches what XLA counts for the
 PLAIN decoder graph — the algorithmic FLOPs of the model. (The
-space-to-depth fast decoder executes ~2.5x that: it blocks time into the
+space-to-depth fast decoder executes ~1.5x that (measured 1.495 at the
+v1 config): it blocks time into the
 channel dim to fill the 128 MXU lanes, trading redundant FLOPs for
 layout efficiency — so its XLA count measures hardware utilization, not
 model FLOPs; bench.py documents which basis each dispatch mode reports.)

@@ -20,6 +20,116 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _cost_flops(compiled):
+    try:
+        return float(compiled.cost_analysis().get("flops", 0.0))
+    except Exception:  # noqa: BLE001 - cost analysis is best-effort
+        return 0.0
+
+
+def _train_step_flops(cfg, net_g, net_d, state, batch, bf16):
+    """Trustworthy train-step FLOPs: XLA-counted FORWARD subgraphs x
+    documented fwd/bwd multipliers.
+
+    XLA's cost_analysis of the full training graph overcounts grad-of-conv
+    FLOPs (transposed convs with padding-inflated dims produce >peak MFU),
+    but its FORWARD counts are reliable — bench.py leans on the same fact
+    for serving MFU. So count each forward subgraph the step executes and
+    assemble with the step's structure (train/step.py):
+
+      spec/mel prep   x1   (fwd only; no grads reach the input waveform)
+      G forward       x2   (D phase stop-grad + G phase)
+      G backward      x2 x (F_G - F_mas)  (bwd ~= 2x fwd per layer: dx+dw;
+                           the MAS neg-cent einsums + DP are stop-grad)
+      D pair          x4.5 (D phase: fwd + 2x bwd; G phase: fwd + the
+                           dx-only pass through the fake branch ~= 0.5)
+      mel(y_hat)      x3   (fwd + 2x bwd in the G loss)
+
+    Optimizer elementwise updates are excluded (~params x 10 flops,
+    <0.5% of a step). The multiplier assembly is validated against XLA's
+    full-step count on a conv-free (matmul-only) GAN step in
+    tests/test_bench_train_flops.py, where XLA's grad count is reliable.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from wetts_tpu.ops.mas import maximum_path
+    from wetts_tpu.ops.spectral import mel_spectrogram, spec_to_mel
+    from wetts_tpu.train.step import compute_spec, make_half_fns
+
+    d, t, m = cfg.data, cfg.train, cfg.model
+    use_mel_post = (d.use_mel_posterior_encoder
+                    or m.use_mel_posterior_encoder)
+    cast_half, _, half_apply = make_half_fns(bf16)
+    key = jax.random.PRNGKey(0)
+    rngs = {"noise": key, "dropout": key, "slice": key}
+
+    def spec_prep(wav):
+        spec = compute_spec(cfg, wav)
+        mel = spec if use_mel_post else spec_to_mel(
+            spec, d.filter_length, d.n_mel_channels, d.sampling_rate,
+            d.mel_fmin, d.mel_fmax)
+        return spec, mel
+
+    spec, _ = jax.eval_shape(spec_prep, batch["wav"])
+    f_spec = _cost_flops(jax.jit(spec_prep).lower(batch["wav"]).compile())
+
+    params_g_h = cast_half(state.params_g)
+
+    def g_fwd(pg, wav, spec):
+        b = dict(batch, wav=wav, spec=spec)
+        return half_apply(net_g, pg, b["phone_ids"], b["text_lengths"],
+                          b["spec"], b["spec_lengths"], b["sid"], 0.0,
+                          rngs=rngs)
+
+    spec_arr = jnp.zeros(spec.shape, spec.dtype)
+    g_c = jax.jit(g_fwd).lower(params_g_h, batch["wav"], spec_arr).compile()
+    f_g = _cost_flops(g_c)
+
+    # the stop-grad MAS block (neg-cent einsums + the DP scan), rebuilt on
+    # the same shapes the synthesizer uses (models/synthesizer.py:209-232)
+    b = batch["wav"].shape[0]
+    t_spec = spec.shape[1]
+    t_text = batch["phone_ids"].shape[1]
+    c = m.inter_channels
+
+    def mas_fwd(z_p, m_p, logs_p):
+        s_p_sq_r = jnp.exp(-2.0 * logs_p)
+        n1 = jnp.sum(-0.5 * 1.837877 - logs_p, axis=-1)[:, None, :]
+        n2 = jnp.einsum("btc,bsc->bts", -0.5 * z_p**2, s_p_sq_r)
+        n3 = jnp.einsum("btc,bsc->bts", z_p, m_p * s_p_sq_r)
+        n4 = jnp.sum(-0.5 * m_p**2 * s_p_sq_r, axis=-1)[:, None, :]
+        neg = n1 + n2 + n3 + n4
+        return maximum_path(neg, jnp.ones_like(neg))
+
+    zp0 = jnp.zeros((b, t_spec, c))
+    mp0 = jnp.zeros((b, t_text, c))
+    f_mas = _cost_flops(jax.jit(mas_fwd).lower(zp0, mp0, mp0).compile())
+
+    params_d_h = cast_half(state.params_d)
+    seg = t.segment_size
+    y0 = jnp.zeros((b, seg, 1))
+
+    def d_fwd(pd, y, y_hat):
+        return half_apply(net_d, pd, y, y_hat)
+
+    f_d_pair = _cost_flops(jax.jit(d_fwd).lower(params_d_h, y0, y0)
+                           .compile())
+
+    def mel_fwd(y_hat):
+        return mel_spectrogram(y_hat[:, :, 0], d.filter_length,
+                               d.n_mel_channels, d.sampling_rate,
+                               d.hop_length, d.win_length, d.mel_fmin,
+                               d.mel_fmax)
+
+    f_mel = _cost_flops(jax.jit(mel_fwd).lower(y0).compile())
+
+    if min(f_spec, f_g, f_d_pair, f_mel) <= 0.0:
+        return 0.0  # cost analysis unavailable on this backend
+    return (f_spec + 2.0 * f_g + 2.0 * max(f_g - f_mas, 0.0)
+            + 4.5 * f_d_pair + 3.0 * f_mel)
+
+
 def run_once(bf16: bool, batch_size: int, iters: int):
     import jax
     import jax.numpy as jnp
@@ -28,6 +138,7 @@ def run_once(bf16: bool, batch_size: int, iters: int):
 
     from wetts_tpu.config import Config
     from wetts_tpu.train.step import build_models, init_state, make_train_step
+    from wetts_tpu.utils.sync import hard_block
 
     cfg = Config.from_dict({
         "train": {"segment_size": 8192, "batch_size": batch_size,
@@ -69,45 +180,53 @@ def run_once(bf16: bool, batch_size: int, iters: int):
         "spec_lengths": jnp.full((b,), t_spec, jnp.int32),
         "sid": jnp.zeros((b,), jnp.int32),
     }
-    # XLA-counted FLOPs of the compiled step (for the MFU line); the same
-    # lowering is reused for execution so nothing compiles twice
+    # the same lowering is reused for execution so nothing compiles twice
     compiled = step.lower(state, batch, jax.random.PRNGKey(1)).compile()
-    try:
-        step_flops = float(compiled.cost_analysis().get("flops", 0.0))
-    except Exception:  # noqa: BLE001 - cost analysis is best-effort
-        step_flops = 0.0
+    # analytic-basis step FLOPs: XLA forward counts x step-structure
+    # multipliers (see _train_step_flops; XLA's own full-step count
+    # overcounts grad convs past the chip's peak). Counted on the PLAIN
+    # decoder graph, so the basis is the model's algorithmic FLOPs — the
+    # stricter MFU definition (the executed space-to-depth decoder runs
+    # more FLOPs than this; same convention as bench.py --dispatch switch)
+    step_flops = _train_step_flops(cfg, net_g, net_d, state, batch, bf16)
     state, metrics = compiled(state, batch, jax.random.PRNGKey(1))  # warmup
-    jax.block_until_ready(metrics)
+    hard_block(metrics)
 
     # best-of-3 passes: transient tunnel latency spikes can inflate a
     # single pass through a remote-attached chip (see bench.py's timed
-    # loop); the minimum reflects the chip
-    dt = float("inf")
+    # loop); the minimum reflects the chip. The per-pass spread is
+    # reported so artifact readers can see the tunnel noise directly.
+    # the per-iteration PRNGKey(i) is created OUTSIDE the timed loop: an
+    # eager device op through the tunnel costs dispatch latency that
+    # would be billed to the step
+    keys = [jax.random.PRNGKey(i) for i in range(iters)]
+    hard_block(keys)
+    passes = []
     for _ in range(3):
         t0 = time.perf_counter()
         for i in range(iters):
-            state, metrics = compiled(state, batch, jax.random.PRNGKey(i))
-        jax.block_until_ready(metrics)
-        dt = min(dt, (time.perf_counter() - t0) / iters)
+            state, metrics = compiled(state, batch, keys[i])
+        # hard sync: through the axon tunnel block_until_ready returns
+        # before execution finishes (see wetts_tpu/utils/sync.py); the
+        # round-3/4 "59-108 steps/s" figures were dispatch-rate artifacts
+        # (they would imply 455 TF/s algorithmic on a 197 TF/s chip)
+        hard_block(metrics)
+        passes.append((time.perf_counter() - t0) / iters)
+    dt = min(passes)
     kind = jax.devices()[0].device_kind.lower()
     peaks = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
              "v6e": 918.0, "v6 lite": 918.0}
     peak = next((v for k, v in peaks.items() if k in kind), None)
     out = {
         "steps_per_s": round(1.0 / dt, 3),
+        "steps_per_s_spread": [round(1.0 / p, 1) for p in passes],
         "utts_per_s": round(batch_size / dt, 1),
         "audio_s_per_s": round(batch_size * t_spec * 256 / 22050 / dt, 1),
         "model_tflops_per_s": round(step_flops / dt / 1e12, 2),
+        "flop_basis": "algorithmic (XLA fwd counts x step multipliers)",
     }
-    if peak:
-        mfu = 100.0 * step_flops / dt / 1e12 / peak
-        if mfu <= 100.0:
-            out["mfu_pct"] = round(mfu, 2)
-        else:
-            # XLA cost_analysis overcounts grad-of-conv FLOPs (transposed
-            # convs with padding-inflated dims), producing >peak numbers
-            # for training graphs; don't report a bogus utilization
-            out["xla_flops_overcounted"] = True
+    if peak and step_flops > 0:
+        out["mfu_pct"] = round(100.0 * step_flops / dt / 1e12 / peak, 2)
     return out
 
 

@@ -46,7 +46,7 @@ FRAMES_PER_TEXT = 12  # generous upper bound on frames per phone
 MAX_CLAUSE_LEN = 32
 # decode-frame buckets: batched decode runs at the smallest bucket covering
 # the batch's realized y_lengths instead of the FRAMES_PER_TEXT worst case
-FRAME_BUCKETS = (96, 192, 288, 384, 576, 768, 1152, 1536, 2304)
+FRAME_BUCKETS = (96, 192, 288, 384, 480, 576, 672, 768, 1152, 1536, 2304)
 # frames of conv context beyond the longest utterance so the decode
 # boundary never touches real audio (reference streaming pad, vits_model.h)
 DECODE_MARGIN = 10
