@@ -187,8 +187,11 @@ def main():
     # the batch's realized y_lengths (+10-frame conv margin, the reference's
     # streaming pad context). The decoder is ~93% of inference time and the
     # static bound over-pads ~3x, so bucketing decode is the single biggest
-    # honest-throughput lever.
-    FRAME_BUCKETS = (96, 192, 288, 384, 480, 576, 672, 800)
+    # honest-throughput lever. 64-frame quantum (realized batch maxima land
+    # at 250-400 frames, so halving the quantum from 96 trims the average
+    # bucket padding from ~15% to ~8% of decoded frames).
+    FRAME_BUCKETS = (96, 160, 224, 288, 352, 416, 480, 544, 608, 672,
+                     736, 800)
 
     @jax.jit
     def encode(x, xl, sid, key):
@@ -196,6 +199,20 @@ def main():
             variables, x, xl, sid, 0.667, 1.0, 0.8, MAX_FRAMES,
             method=Synthesizer.encode_infer, rngs={"noise": key})
         return z, y_lengths, g
+
+    @jax.jit
+    def encode_prior(x, xl, sid, key):
+        # the pre-flow half: switch mode runs the flow INSIDE the bucket
+        # branch (flow(z_p[:, :fb]) == flow(z_p)[:, :fb] exactly — the flow
+        # masks every conv input/output; models/synthesizer.py:encode_prior)
+        z_p, y_lengths, y_mask, attn, g = model.apply(
+            variables, x, xl, sid, 0.667, 1.0, 0.8, MAX_FRAMES,
+            method=Synthesizer.encode_prior, rngs={"noise": key})
+        return z_p, y_lengths, y_mask, g
+
+    def flow_reverse(z_p, y_mask, g):
+        return model.apply(variables, z_p, y_mask, g,
+                           method=Synthesizer.flow_reverse)
 
     if cli.model == "vocos":
         from wetts_tpu.models.vocos import VocosGenerator
@@ -270,35 +287,55 @@ def main():
             # comes with no host round-trip — the TPU-idiomatic answer to the
             # reference's dynamic-length ONNX decode. Exact: z is masked beyond
             # y_lengths, so every sample inside the true region is identical
-            # whatever covering bucket decodes it.
+            # whatever covering bucket decodes it. The flow reverse ALSO runs
+            # inside the branch at the bucket length (it masks every conv
+            # input/output, so truncation is exact) — the flow is ~95% of the
+            # non-decoder FLOPs and the static bound over-pads it ~2.5x.
             switch_buckets = tuple(b for b in FRAME_BUCKETS if b <= MAX_FRAMES)
             bounds = jnp.asarray(switch_buckets[:-1], jnp.int32)
 
             @jax.jit
             def infer_switch(x, xl, sid, key):
-                z, y_lengths, g = encode(x, xl, sid, key)
+                z_p, y_lengths, y_mask, g = encode_prior(x, xl, sid, key)
                 need = jnp.min(jnp.asarray([jnp.max(y_lengths) + 10,
                                             MAX_FRAMES]))
                 idx = jnp.sum((need > bounds).astype(jnp.int32))
 
                 def mk(fb):
-                    def f(z, g):
-                        audio = decode(z[:, :fb], g)
+                    def f(z_p, y_mask, g):
+                        z = flow_reverse(z_p[:, :fb], y_mask[:, :fb], g)
+                        audio = decode(z, g)
                         return jnp.pad(
                             audio,
                             ((0, 0), (0, (MAX_FRAMES - fb) * hop), (0, 0)))
                     return f
 
                 audio = jax.lax.switch(
-                    idx, [mk(fb) for fb in switch_buckets], z, g)
+                    idx, [mk(fb) for fb in switch_buckets], z_p, y_mask, g)
                 return audio, y_lengths
 
             switch_c = infer_switch.lower(x, xl, sid, keys[0]).compile()
-            # encoder-only compile for the FLOP accounting (cost_analysis of a
-            # multi-branch conditional overcounts; decoder FLOPs come from the
-            # analytic conv count, exact for the executed branch)
-            enc_c = encode.lower(x, xl, sid, keys[0]).compile()
+            # prior-encoder-only compile for the FLOP accounting
+            # (cost_analysis of a multi-branch conditional overcounts;
+            # decoder FLOPs come from the analytic conv count, and the
+            # per-bucket flow FLOPs from XLA counts of the standalone flow
+            # graph at each realized bucket — both exact for the executed
+            # branch)
+            enc_c = encode_prior.lower(x, xl, sid, keys[0]).compile()
             enc_flops = _cost_flops(enc_c)
+            flow_flops_cache = {}
+
+            def flow_flops(fb):
+                if fb not in flow_flops_cache:
+                    zp0 = jnp.zeros((B, fb, m.inter_channels))
+                    mask0 = jnp.ones((B, fb, 1))
+                    g0 = (jnp.zeros((B, 1, m.gin_channels))
+                          if m.gin_channels else None)
+                    flow_flops_cache[fb] = _cost_flops(
+                        jax.jit(flow_reverse)
+                        .lower(zp0, mask0, g0).compile())
+                return flow_flops_cache[fb]
+
             hard_block(switch_c(x, xl, sid, keys[0]))
             _mark("switch graph compiled + warm")
         elif cli.dispatch == "bucketed":
@@ -404,7 +441,7 @@ def main():
             dec_flops_fn = (_vocos_dec_flops if cli.model == "vocos"
                             else _dec_conv_flops)
             total_flops = enc_flops * iters + sum(
-                dec_flops_fn(m, B, fb) for fb in buckets)
+                dec_flops_fn(m, B, fb) + flow_flops(fb) for fb in buckets)
         elif cli.dispatch == "bucketed":
             total_flops = enc_flops * iters + sum(dec_flops[fb]
                                                   for fb in buckets)
@@ -423,11 +460,12 @@ def main():
         out = {}
         if cli.dispatch == "switch":
             # the switch basis is mixed: the decoder term (93%+ of FLOPs)
-            # is analytic-algorithmic, the encoder term is XLA-executed
-            # (no analytic attention/flow count exists); the stricter
-            # label "algorithmic" overstates by the encoder's few percent
+            # is analytic-algorithmic; the prior-encoder term and the
+            # per-bucket flow term are XLA HLO counts (no analytic
+            # attention count exists); the stricter label "algorithmic"
+            # overstates by the encoder's few percent
             out["flop_basis_note"] = ("decoder analytic-algorithmic; "
-                                      "encoder term XLA-executed")
+                                      "encoder/flow terms XLA-counted")
         out = {
             **out,
             "metric": "audio_seconds_per_second_per_chip",

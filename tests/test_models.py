@@ -217,6 +217,46 @@ def test_synthesizer_vits2_features():
     assert np.isfinite(np.asarray(out["l_length"])).all()
 
 
+@pytest.mark.parametrize("overrides", [
+    {},
+    {"use_transformer_flows": True, "transformer_flow_type": "pre_conv"},
+], ids=["wn_flow", "transformer_flow"])
+def test_flow_reverse_truncation_exact(overrides):
+    """flow_reverse(z_p[:, :fb]) == flow_reverse(z_p)[:, :fb].
+
+    The exactness contract behind running the flow INSIDE the lax.switch
+    bucket branch (serving/engine.py:_synth_switch_fn, bench.py switch
+    mode): every flow layer masks its conv inputs/outputs per y_mask, so
+    truncating to any bucket covering y_lengths cannot change the valid
+    region. encode_prior/flow_reverse are the split halves of
+    encode_infer, so also pin their composition against it."""
+    cfg = tiny_config(**overrides)
+    model = Synthesizer.from_config(cfg)
+    B, T_text, max_frames, fb = 2, 9, 64, 40
+    x = jnp.ones((B, T_text), jnp.int32)
+    xl = jnp.array([9, 6])
+    y = jnp.zeros((B, 24, cfg.data.spec_channels))
+    yl = jnp.array([24, 18])
+    sid = jnp.array([0, 1])
+    variables = model.init(RNGS, x, xl, y, yl, sid)
+
+    z_p, y_len, y_mask, attn, g = model.apply(
+        variables, x, xl, sid, 0.667, 1.2, 0.8, max_frames,
+        method=Synthesizer.encode_prior, rngs={"noise": KEY})
+    assert int(np.asarray(y_len).max()) <= fb  # bucket must cover lengths
+    z_full, y_len2, _, _, _ = model.apply(
+        variables, x, xl, sid, 0.667, 1.2, 0.8, max_frames,
+        method=Synthesizer.encode_infer, rngs={"noise": KEY})
+    np.testing.assert_array_equal(np.asarray(y_len), np.asarray(y_len2))
+    z_trunc = model.apply(variables, z_p[:, :fb], y_mask[:, :fb], g,
+                          method=Synthesizer.flow_reverse)
+    np.testing.assert_allclose(
+        np.asarray(z_trunc), np.asarray(z_full[:, :fb]), atol=1e-6)
+    # beyond-bucket region of the full encode is masked to zero, so the
+    # truncated latent loses nothing
+    assert float(np.abs(np.asarray(z_full[:, fb:])).max()) == 0.0
+
+
 def test_synthesizer_voice_conversion():
     cfg = tiny_config()
     model = Synthesizer.from_config(cfg)

@@ -271,12 +271,20 @@ class Synthesizer(nn.Module):
     # Inference
     # ------------------------------------------------------------------
 
-    def encode_infer(self, x, x_lengths, sid=None, noise_scale=1.0,
+    def encode_prior(self, x, x_lengths, sid=None, noise_scale=1.0,
                      length_scale=1.0, noise_scale_w=1.0,
                      max_frames: int = 1000):
-        """Text -> latent z (the streaming encoder half, reference :282-331).
+        """Text -> prior latent z_p, BEFORE the flow reverse.
 
-        Returns (z [B, max_frames, C], y_lengths [B], y_mask, attn, g).
+        Returns (z_p [B, max_frames, C], y_lengths [B], y_mask, attn, g).
+
+        Split out of encode_infer so length-bucketed callers (the on-device
+        lax.switch dispatch, serving/engine.py) can run the flow reverse at
+        the decode bucket instead of max_frames: the flow masks every conv
+        input/output per y_mask (flows.py, wavenet.py), so
+        flow_reverse(z_p[:, :fb]) equals flow_reverse(z_p)[:, :fb] exactly
+        for any bucket fb covering y_lengths — the same masking argument
+        that makes bucketed decode exact.
         """
         g = self._speaker(sid)
         x_h, m_p, logs_p, x_mask = self.enc_p(x, x_lengths, g=g)
@@ -300,8 +308,25 @@ class Synthesizer(nn.Module):
                               preferred_element_type=jnp.float32)
         noise = jax.random.normal(self.make_rng("noise"), m_p_e.shape)
         z_p = m_p_e + noise * jnp.exp(logs_p_e) * noise_scale
+        return z_p, y_lengths, y_mask, attn, g
+
+    def flow_reverse(self, z_p, y_mask, g=None):
+        """Prior latent -> posterior latent z (flow reversed, masked)."""
         z = self.flow(z_p, y_mask, g=g, reverse=True)
-        return z * y_mask, y_lengths, y_mask, attn, g
+        return z * y_mask
+
+    def encode_infer(self, x, x_lengths, sid=None, noise_scale=1.0,
+                     length_scale=1.0, noise_scale_w=1.0,
+                     max_frames: int = 1000):
+        """Text -> latent z (the streaming encoder half, reference :282-331).
+
+        Returns (z [B, max_frames, C], y_lengths [B], y_mask, attn, g).
+        """
+        z_p, y_lengths, y_mask, attn, g = self.encode_prior(
+            x, x_lengths, sid, noise_scale, length_scale, noise_scale_w,
+            max_frames)
+        z = self.flow_reverse(z_p, y_mask, g=g)
+        return z, y_lengths, y_mask, attn, g
 
     def decode(self, z, g=None, sid=None):
         """Latent z [B, T, C] -> waveform (streaming decoder half, :360-363)."""

@@ -45,8 +45,13 @@ FRAMES_PER_TEXT = 12  # generous upper bound on frames per phone
 # keeps any single clause's phone count well inside TEXT_BUCKETS[-1]
 MAX_CLAUSE_LEN = 32
 # decode-frame buckets: batched decode runs at the smallest bucket covering
-# the batch's realized y_lengths instead of the FRAMES_PER_TEXT worst case
-FRAME_BUCKETS = (96, 192, 288, 384, 480, 576, 672, 768, 1152, 1536, 2304)
+# the batch's realized y_lengths instead of the FRAMES_PER_TEXT worst case.
+# 64-frame granularity up to 768 (typical clause lengths land at 150-400
+# frames, so halving the quantum from 96 recovers ~8-10% decode compute —
+# decode time is linear in the bucket); coarse above (long clauses are rare
+# and the per-bucket executables aren't free to compile)
+FRAME_BUCKETS = (96, 160, 224, 288, 352, 416, 480, 544, 608, 672, 736,
+                 768, 1152, 1536, 2304)
 # frames of conv context beyond the longest utterance so the decode
 # boundary never touches real audio (reference streaming pad, vits_model.h)
 DECODE_MARGIN = 10
@@ -389,7 +394,16 @@ class SynthesisEngine:
     def _synth_switch_fn(self, text_pad: int, max_frames: int):
         """Jitted single-dispatch synthesis: encode + on-device bucketed
         decode (lax.switch over every FRAME_BUCKETS branch <= max_frames).
-        Returns (audio [B, max_frames*hop, 1], y_lengths)."""
+        Returns (audio [B, max_frames*hop, 1], y_lengths).
+
+        The flow reverse runs INSIDE the switch branch at the bucket
+        length, not at max_frames: the flow masks every conv input/output
+        (flows.py, wavenet.py), so flow(z_p[:, :fb]) == flow(z_p)[:, :fb]
+        exactly for any covering bucket — same masking argument as the
+        bucketed decode itself. The flow is ~95% of the encoder-side
+        FLOPs, so running it at the realized bucket instead of the static
+        bound trims the whole non-decoder side by the same ~2-3x factor
+        bucketing buys the decoder."""
         key = ("switch", text_pad, max_frames)
         if key not in self._encode_cache:
             ns, ls, nsw = self.scales
@@ -406,23 +420,26 @@ class SynthesisEngine:
 
             @jax.jit
             def run(x, xl, sid, rng):
-                z, y_len, y_mask, attn, g = self.model.apply(
+                z_p, y_len, y_mask, attn, g = self.model.apply(
                     self.params, x, xl, sid, ns, ls, nsw, max_frames,
-                    method=Synthesizer.encode_infer, rngs={"noise": rng})
+                    method=Synthesizer.encode_prior, rngs={"noise": rng})
                 need = jnp.minimum(jnp.max(y_len) + DECODE_MARGIN,
                                    max_frames)
                 idx = jnp.sum((need > bounds).astype(jnp.int32))
 
                 def mk(fb):
-                    def f(z, g):
-                        audio = decode_body(z[:, :fb], g)
+                    def f(z_p, y_mask, g):
+                        z = self.model.apply(
+                            self.params, z_p[:, :fb], y_mask[:, :fb], g,
+                            method=Synthesizer.flow_reverse)
+                        audio = decode_body(z, g)
                         return jnp.pad(
                             audio,
                             ((0, 0), (0, (max_frames - fb) * hop), (0, 0)))
                     return f
 
                 audio = jax.lax.switch(idx, [mk(fb) for fb in branches],
-                                       z, g)
+                                       z_p, y_mask, g)
                 return audio, y_len
 
             self._encode_cache[key] = run
