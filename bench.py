@@ -210,8 +210,25 @@ def main():
             method=Synthesizer.encode_prior, rngs={"noise": key})
         return z_p, y_lengths, y_mask, g
 
+    # bf16 flow under reduced-precision serving (the flow is gated-WN
+    # elementwise-bound — ~9% MFU in f32, tools/profile_components.py —
+    # so halving its HBM traffic is the lever; drift joins the decoder's
+    # bf16 bound). Mirrors serving/engine.py:_flow_reverse. Cast EAGERLY
+    # here (one jitted dispatch): a cast staged inside a traced caller
+    # leaks tracers into this closure.
+    if dec_dtype is not None:
+        flow_variables = jax.jit(lambda v: jax.tree.map(
+            lambda a: a.astype(dec_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, v))(variables)
+    else:
+        flow_variables = variables
+
     def flow_reverse(z_p, y_mask, g):
-        return model.apply(variables, z_p, y_mask, g,
+        if dec_dtype is not None:
+            z_p = z_p.astype(dec_dtype)
+            y_mask = y_mask.astype(dec_dtype)
+            g = None if g is None else g.astype(dec_dtype)
+        return model.apply(flow_variables, z_p, y_mask, g,
                            method=Synthesizer.flow_reverse)
 
     if cli.model == "vocos":

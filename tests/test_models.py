@@ -154,6 +154,30 @@ def test_discriminators_shapes():
     assert len(rs) == 2 + 5
 
 
+def test_discriminator_im2col():
+    """DiscriminatorP's im2col path == the conv lowering, incl. grads.
+
+    The gather+matmul formulation shares the exact params; kept as a
+    measured-negative optimization candidate (see the im2col attribute
+    docstring in models/discriminators.py)."""
+    from wetts_tpu.models.discriminators import DiscriminatorP
+
+    rnd = np.random.default_rng(0)
+    x = jnp.asarray(rnd.standard_normal((2, 180, 1)).astype(np.float32))
+    ref = DiscriminatorP(period=3, im2col=False)
+    fast = DiscriminatorP(period=3, im2col=True)
+    params = ref.init({"params": KEY}, x)
+    lo, fo = ref.apply(params, x), fast.apply(params, x)
+    np.testing.assert_allclose(np.asarray(lo[0]), np.asarray(fo[0]),
+                               atol=1e-5)
+    for a, b in zip(lo[1], fo[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    g1 = jax.grad(lambda p: jnp.sum(ref.apply(p, x)[0] ** 2))(params)
+    g2 = jax.grad(lambda p: jnp.sum(fast.apply(p, x)[0] ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_duration_discriminators():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, 9, 32)).astype(np.float32))

@@ -151,6 +151,33 @@ def test_on_device_bucketing_with_int8(engine):
     assert out[0].size > 0 and np.isfinite(out[0]).all()
 
 
+def test_half_precision_drift_bounded(engine):
+    """bf16 serving path (bf16 flow + bf16 decoder) tracks the f32 engine.
+
+    The flow now also runs bf16 under half/int8 (engine._flow_reverse —
+    it is elementwise-bound, so halving its HBM traffic is the serving
+    win); this bounds the composed flow+decoder drift at the engine level
+    the way tests/test_hifigan_fast.py bounds the decoder alone."""
+    half_eng = SynthesisEngine(
+        engine.cfg, engine.params, engine.phone2id, engine.speaker2id,
+        half=True, use_fast_decoder=True)
+    batch = [[1, 2, 3, 1, 2], [3, 2, 1]]
+    saved_rng = engine._rng
+    try:
+        engine._rng = jax.random.PRNGKey(7)
+        half_eng._rng = jax.random.PRNGKey(7)
+        want = engine.synthesize_ids_batch(batch, [0, 1])
+        got = half_eng.synthesize_ids_batch(batch, [0, 1])
+    finally:
+        engine._rng = saved_rng
+    for g, w in zip(got, want):
+        assert g.shape == w.shape  # identical realized lengths (f32 dp)
+        assert np.abs(g - w).max() < 5e-2
+        # untrained weights give near-zero waveforms; correlation at this
+        # scale is far tighter at trained-signal magnitudes
+        assert np.corrcoef(g, w)[0, 1] > 0.99
+
+
 def test_auto_bucketing_resolves_false_on_host_attached(engine):
     """`on_device_bucketing="auto"` probes the host<->device RTT; on a
     host-attached backend (CPU here, microsecond round-trips) the probe

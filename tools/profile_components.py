@@ -138,9 +138,9 @@ def profile_train(batch_size: int, iters: int):
 
     def d_pair_bwd(pd, y, y_hat):
         def loss(pd):
-            logits, _ = d_pair(pd, y, y_hat)
+            y_d_r, y_d_g, _, _ = d_pair(pd, y, y_hat)
             return sum(jnp.mean(jnp.square(l.astype(jnp.float32)))
-                       for l in logits)
+                       for l in list(y_d_r) + list(y_d_g))
         return jax.grad(loss)(pd)
 
     timeit("d_pair_fwd_bwd_ms", d_pair_bwd, params_d_h, y0, y0)
@@ -158,6 +158,51 @@ def profile_train(batch_size: int, iters: int):
         best = min(best, (time.perf_counter() - t0) / iters)
     out["full_step_ms"] = round(best * 1000, 2)
     _mark(f"full_step: {best * 1000:.1f} ms")
+    return out
+
+
+def profile_disc(batch_size: int, iters: int):
+    """Per-sub-discriminator timing: which of S/P(2,3,5,7,11) eats the
+    22 ms D-pair forward (13% MFU measured via --what train)?"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wetts_tpu.models.discriminators import (DiscriminatorP,
+                                                 DiscriminatorS)
+    from wetts_tpu.utils.sync import hard_block
+
+    rnd = np.random.default_rng(0)
+    y = jnp.asarray(
+        0.1 * rnd.standard_normal((batch_size, 8192, 1)).astype(np.float32),
+        jnp.bfloat16)
+    out = {}
+
+    def timeit(name, mod):
+        params = mod.init(jax.random.PRNGKey(0), y)
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+
+        def fwd(p, y):
+            return mod.apply(p, y)
+
+        c = jax.jit(fwd).lower(params, y).compile()
+        hard_block(c(params, y))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(iters):
+                o = c(params, y)
+            hard_block(o)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        out[name] = round(best * 1000, 2)
+        _mark(f"{name}: {best * 1000:.2f} ms")
+
+    timeit("disc_s_ms", DiscriminatorS())
+    for p in (2, 3, 5, 7, 11):
+        timeit(f"disc_p{p}_ms", DiscriminatorP(period=p))
     return out
 
 
@@ -258,12 +303,15 @@ def main():
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", choices=["train", "serve"], default="train")
+    ap.add_argument("--what", choices=["train", "serve", "disc"],
+                    default="train")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
     if args.what == "train":
         out = profile_train(args.batch or 32, args.iters)
+    elif args.what == "disc":
+        out = profile_disc(args.batch or 32, args.iters)
     else:
         out = profile_serve(args.batch or 16, args.iters)
     out["what"] = args.what

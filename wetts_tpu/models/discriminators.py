@@ -42,6 +42,16 @@ class DiscriminatorP(nn.Module):
     period: int
     kernel_size: int = 5
     stride: int = 3
+    # im2col: compute the (k, 1) strided convs as explicit gather+matmul
+    # (layers.Conv2dTorch im2col). Same math and params (equivalence incl.
+    # grads pinned in tests/test_models.py::test_discriminator_im2col).
+    # Default OFF: measured on v5e it made the full GAN train step 30%
+    # SLOWER (141 vs 108 ms, tools/profile_components.py --what train) —
+    # the backward of the tap-gather concat lowers to scatter-adds that
+    # cost more than XLA's native strided-conv grad. Kept as the
+    # documented negative result for the "discriminators are the hotspot"
+    # investigation (round-5); the conv lowering is the faster path.
+    im2col: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, List[Array]]:
@@ -58,11 +68,13 @@ class DiscriminatorP(nn.Module):
         pad = get_padding(self.kernel_size, 1)
         for i, ch in enumerate(channels):
             x = Conv2dTorch(ch, (self.kernel_size, 1), (self.stride, 1),
-                            (pad, 0), weight_norm=True, name=f"conv_{i}")(x)
+                            (pad, 0), weight_norm=True,
+                            im2col=self.im2col, name=f"conv_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         x = Conv2dTorch(1024, (self.kernel_size, 1), (1, 1), (pad, 0),
-                        weight_norm=True, name="conv_4")(x)
+                        weight_norm=True, im2col=self.im2col,
+                        name="conv_4")(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
         x = Conv2dTorch(1, (3, 1), (1, 1), (1, 0), weight_norm=True,

@@ -208,7 +208,15 @@ def zeros_init(key, shape, dtype=jnp.float32):
 
 
 class Conv2dTorch(nn.Module):
-    """torch.nn.Conv2d equivalent on [B, H, W, C] with optional weight norm."""
+    """torch.nn.Conv2d equivalent on [B, H, W, C] with optional weight norm.
+
+    im2col=True computes a (k, 1)-kernel strided conv as an explicit
+    gather + one dot_general ([B, H_out, W, k*C] @ [k*C, O]) instead of
+    conv_general_dilated. Same math, same params — but the contraction is
+    a clean [k*C, O] matmul the MXU tiles directly, where XLA's strided-
+    conv lowering of the discriminator shapes measured ~13% MFU
+    (tools/profile_components.py --what train/disc). Used by
+    DiscriminatorP, whose W dim (the period) is pure batch."""
 
     features: int
     kernel_size: tuple
@@ -216,6 +224,7 @@ class Conv2dTorch(nn.Module):
     padding: tuple = (0, 0)
     use_bias: bool = True
     weight_norm: bool = False
+    im2col: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -235,14 +244,30 @@ class Conv2dTorch(nn.Module):
             kernel = v * (g[None, None, None, :] / jnp.maximum(norm, 1e-12))
         else:
             kernel = self.param("kernel", kinit, kshape)
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(x.dtype),
-            window_strides=self.stride,
-            padding=[(self.padding[0], self.padding[0]),
-                     (self.padding[1], self.padding[1])],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.im2col and self.kernel_size[1] == 1 and self.stride[1] == 1:
+            kh, sh, ph = (self.kernel_size[0], self.stride[0],
+                          self.padding[0])
+            xp = x if ph == 0 else jnp.pad(
+                x, ((0, 0), (ph, ph), (0, 0), (0, 0)))
+            h_out = (xp.shape[1] - kh) // sh + 1
+            cols = jnp.concatenate(
+                [jax.lax.slice_in_dim(xp, j, j + (h_out - 1) * sh + 1,
+                                      stride=sh, axis=1)
+                 for j in range(kh)], axis=-1)  # [B, H_out, W, kh*C]
+            w2 = kernel.reshape(kh * in_features, self.features)
+            y = jax.lax.dot_general(
+                cols, w2.astype(x.dtype),
+                dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel.astype(x.dtype),
+                window_strides=self.stride,
+                padding=[(self.padding[0], self.padding[0]),
+                         (self.padding[1], self.padding[1])],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             fan_in = kshape[0] * kshape[1] * kshape[2]
             b = self.param("bias", torch_bias_init_for(fan_in), (self.features,))

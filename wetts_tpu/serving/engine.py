@@ -126,6 +126,7 @@ class SynthesisEngine:
         self._rng = jax.random.PRNGKey(seed)
         self._encode_cache = {}
         self._decode_cache = {}
+        self._flow_vars_half = None  # built on first use (_flow_variables)
         # engine-level lock: one synthesis at a time per chip, and a single
         # guard for the shared mutable state (_rng, jit caches, stage_times,
         # frontend) now that the server's DynamicBatcher dispatcher thread
@@ -201,6 +202,39 @@ class SynthesisEngine:
             upsample_rates=tuple(m.upsample_rates),
             upsample_initial_channel=m.upsample_initial_channel,
             upsample_kernel_sizes=tuple(m.upsample_kernel_sizes))
+
+    def _flow_variables(self):
+        """Variables for the flow reverse; bf16-cast under reduced
+        precision. The flow is gated-WN elementwise-bound (measured ~9%
+        MFU in f32 — tools/profile_components.py), so halving its HBM
+        traffic is the lever; drift joins the decoder's bf16 drift bound
+        (tests/test_serving.py::test_half_precision_drift_bounded).
+        Truncation exactness is unaffected: bf16 rounding is positionwise
+        deterministic, so the masked-conv argument still gives
+        flow(z_p[:, :fb]) == flow(z_p)[:, :fb] bit-exactly."""
+        if not (self.half or self.quantize):
+            return self.params
+        if self._flow_vars_half is None:
+            # materialize OUTSIDE any jit trace (under omnistaging a cast
+            # staged mid-trace yields tracers, and caching those leaks
+            # them out of the transformation); one jitted dispatch instead
+            # of ~1k eager per-leaf casts (each an RPC on a tunnel-attached
+            # chip)
+            with jax.ensure_compile_time_eval():
+                self._flow_vars_half = jax.jit(lambda v: jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                    v))(self.params)
+        return self._flow_vars_half
+
+    def _flow_reverse(self, z_p, y_mask, g):
+        """Flow reverse at the caller's length (bf16 under half/int8)."""
+        if self.half or self.quantize:
+            z_p = z_p.astype(jnp.bfloat16)
+            y_mask = y_mask.astype(jnp.bfloat16)
+            g = None if g is None else g.astype(jnp.bfloat16)
+        return self.model.apply(self._flow_variables(), z_p, y_mask, g,
+                                method=Synthesizer.flow_reverse)
 
     # -- text -----------------------------------------------------------
 
@@ -383,9 +417,13 @@ class SynthesisEngine:
 
             @jax.jit
             def run(x, xl, sid, rng):
-                z, y_len, y_mask, attn, g = self.model.apply(
+                z_p, y_len, y_mask, attn, g = self.model.apply(
                     self.params, x, xl, sid, ns, ls, nsw, max_frames,
-                    method=Synthesizer.encode_infer, rngs={"noise": rng})
+                    method=Synthesizer.encode_prior, rngs={"noise": rng})
+                # bf16 flow under half/int8 (see _flow_reverse); the text
+                # encoder/duration side stays f32 so realized lengths are
+                # precision-independent
+                z = self._flow_reverse(z_p, y_mask, g)
                 return z, y_len, g
 
             self._encode_cache[key] = run
@@ -429,9 +467,8 @@ class SynthesisEngine:
 
                 def mk(fb):
                     def f(z_p, y_mask, g):
-                        z = self.model.apply(
-                            self.params, z_p[:, :fb], y_mask[:, :fb], g,
-                            method=Synthesizer.flow_reverse)
+                        z = self._flow_reverse(z_p[:, :fb], y_mask[:, :fb],
+                                               g)
                         audio = decode_body(z, g)
                         return jnp.pad(
                             audio,
