@@ -461,9 +461,6 @@ class SynthesisEngine:
                 z_p, y_len, y_mask, attn, g = self.model.apply(
                     self.params, x, xl, sid, ns, ls, nsw, max_frames,
                     method=Synthesizer.encode_prior, rngs={"noise": rng})
-                need = jnp.minimum(jnp.max(y_len) + DECODE_MARGIN,
-                                   max_frames)
-                idx = jnp.sum((need > bounds).astype(jnp.int32))
 
                 def mk(fb):
                     def f(z_p, y_mask, g):
@@ -475,8 +472,26 @@ class SynthesisEngine:
                             ((0, 0), (0, (max_frames - fb) * hop), (0, 0)))
                     return f
 
-                audio = jax.lax.switch(idx, [mk(fb) for fb in branches],
-                                       z_p, y_mask, g)
+                # length-sorted split decode (batch >= 4): one bucket per
+                # batch covers the batch MAX while the short rows (incl.
+                # batcher padding rows) pay for it — sorting on-device
+                # and decoding the short/long halves at their own buckets
+                # recovers the intra-batch spread in the same single
+                # dispatch. Exact: each row's bucket still covers its
+                # length + margin.
+                b = z_p.shape[0]
+                order = jnp.argsort(y_len)
+                grp = ((order[: b // 2], order[b // 2:]) if b >= 4
+                       else (order,))
+                audio = jnp.zeros((b, max_frames * hop, 1), jnp.float32)
+                for rows in grp:
+                    need = jnp.minimum(
+                        jnp.max(y_len[rows]) + DECODE_MARGIN, max_frames)
+                    idx = jnp.sum((need > bounds).astype(jnp.int32))
+                    a = jax.lax.switch(
+                        idx, [mk(fb) for fb in branches], z_p[rows],
+                        y_mask[rows], None if g is None else g[rows])
+                    audio = audio.at[rows].set(a)
                 return audio, y_len
 
             self._encode_cache[key] = run
